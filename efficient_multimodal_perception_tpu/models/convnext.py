@@ -1,0 +1,284 @@
+"""Maskable ConvNeXt backbone (flax, NHWC).
+
+From-scratch TPU rebuild of the reference's ``MaskConvNeXt`` /
+``MaskConvNeXtV2`` (``mmdet3d/models/backbones/mask_convnext.py``,
+``mask_convnextv2.py``) and the SparK-style sparse-conv machinery
+(``mmdet3d/models/utils/sparse_utils.py``).  Key differences by design:
+
+* channels-last layout; convs map straight onto the MXU.
+* The "sparse masked conv" trick is expressed functionally: dense convs
+  followed by a mask multiply (exactly ``sp_conv_forward``,
+  ``sparse_utils.py:27-33``).  LayerNorm here is per-pixel over channels,
+  so ``LN(x) * mask == SparseLayerNorm`` on active pixels.
+* ``forward1`` / ``forward2`` split (camera encoder interjection point,
+  ``mask_convnextv2.py:212-261``) are stage-range arguments of one module,
+  sharing parameters.
+* Stage freezing is an optimizer concern (see ``train/trainer.py``); the
+  module only mirrors the eval-mode side effect (no stochastic depth in
+  frozen stages, matching torch ``.eval()`` on them,
+  ``mask_convnext.py:339-350``).
+
+Supported arch settings mirror ``mask_convnext.py:66-71``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ARCH_SETTINGS = {
+    "tiny": {"depths": (3, 3, 9, 3), "channels": (96, 192, 384, 768)},
+    "small": {"depths": (3, 3, 27, 3), "channels": (96, 192, 384, 768)},
+    "base": {"depths": (3, 3, 27, 3), "channels": (128, 256, 512, 1024)},
+    "large": {"depths": (3, 3, 27, 3), "channels": (192, 384, 768, 1536)},
+}
+
+
+def drop_path(
+    x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jax.Array:
+    """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def upsample_mask(mask: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+    """Nearest-upsample an active mask ``(B, h, w, 1)`` to ``hw``.
+
+    Equivalent to the reference's ``repeat_interleave`` mask upsampling
+    (``sparse_utils.py:14-24``).
+    """
+    H, W = hw
+    _, h, w, _ = mask.shape
+    return jnp.repeat(jnp.repeat(mask, H // h, axis=1), W // w, axis=2)
+
+
+def random_active_mask(
+    rng: jax.Array, batch: int, h: int, w: int, mask_ratio: float
+) -> jax.Array:
+    """Per-sample random keep-mask at the lowest resolution.
+
+    Port of ``sparse_utils.random_masking`` (``sparse_utils.py:319-329``):
+    keeps ``round(h*w*(1-ratio))`` patches per sample, uniformly at random.
+
+    Returns ``(B, h, w, 1)`` bool, True = kept/active.
+    """
+    len_keep = round(h * w * (1.0 - mask_ratio))
+    noise = jax.random.uniform(rng, (batch, h * w))
+    rank = jnp.argsort(jnp.argsort(noise, axis=1), axis=1)
+    active = rank < len_keep
+    return active.reshape(batch, h, w, 1)
+
+
+class ConvNeXtBlock(nn.Module):
+    """dwconv7x7 -> LN -> pointwise MLP -> layer scale -> droppath residual.
+
+    Mirrors ``SparseConvNeXtBlock`` (``sparse_utils.py:132-233``); the
+    optional ``mask`` multiply after each conv reproduces sparse mode.
+    """
+
+    dim: int
+    drop_path_rate: float = 0.0
+    layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        shortcut = x
+        x = nn.Conv(
+            self.dim,
+            (7, 7),
+            padding=3,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        if mask is not None:
+            x = x * mask
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+            )
+            x = x * gamma.astype(x.dtype)
+        if mask is not None:
+            x = x * mask
+        rng = None if deterministic else self.make_rng("droppath")
+        return shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+
+
+class MaskConvNeXt(nn.Module):
+    """4-stage ConvNeXt with non-square stem and optional masked mode.
+
+    Attributes mirror the reference config surface
+    (``mask_convnext.py:73-97``):
+
+    Attributes:
+        arch: one of tiny/small/base/large.
+        in_channels: input channels (193 for the fused range input).
+        stem_patch_size: stem kernel=stride, e.g. ``(1, 4)`` for range.
+        downsample_height: if False, inter-stage downsampling is ``(1, 2)``
+            so the 32-row range image keeps its height.
+        drop_path_rate: stochastic depth, linear over blocks.
+        out_indices: stage whose output is returned (single int).
+        norm_out: apply a final LayerNorm to the output stage.
+        out_all_scale: return all 4 stage outputs (for FPN).
+        frozen_stages: stages with droppath disabled (optimizer handles
+            the actual weight freeze).
+    """
+
+    arch: str = "tiny"
+    in_channels: int = 3
+    stem_patch_size: Tuple[int, int] = (4, 4)
+    downsample_height: bool = True
+    drop_path_rate: float = 0.0
+    out_indices: int = 3
+    norm_out: bool = False
+    out_all_scale: bool = False
+    frozen_stages: int = 0
+    layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = ARCH_SETTINGS[self.arch]
+        depths, channels = cfg["depths"], cfg["channels"]
+        self.depths = depths
+        self.channels = channels
+        down_kernel = (2, 2) if self.downsample_height else (1, 2)
+
+        dpr = [
+            float(x)
+            for x in jnp.linspace(0, self.drop_path_rate, sum(depths))
+        ]
+
+        downs = []
+        stages = []
+        idx = 0
+        for i in range(4):
+            if i == 0:
+                downs.append(
+                    _Stem(channels[0], self.stem_patch_size, self.dtype)
+                )
+            else:
+                downs.append(
+                    _Downsample(channels[i], down_kernel, self.dtype)
+                )
+            blocks = []
+            for j in range(depths[i]):
+                rate = dpr[idx + j] if i >= self.frozen_stages else 0.0
+                blocks.append(
+                    ConvNeXtBlock(
+                        channels[i],
+                        drop_path_rate=rate,
+                        layer_scale_init=self.layer_scale_init,
+                        dtype=self.dtype,
+                        name=f"stage{i}_block{j}",
+                    )
+                )
+            idx += depths[i]
+            stages.append(blocks)
+        self.downsample_layers = downs
+        self.stages_ = stages
+        if self.norm_out:
+            self.out_norm = nn.LayerNorm(
+                epsilon=1e-6, dtype=self.dtype, name="out_norm"
+            )
+
+    def run_stages(
+        self,
+        x,
+        start: int,
+        end: int,
+        active_mask=None,
+        deterministic: bool = True,
+        collect=False,
+    ):
+        """Run stages ``[start, end)``; mask is re-applied per resolution."""
+        outs = []
+        for i in range(start, end):
+            x = self.downsample_layers[i](x)
+            if active_mask is not None:
+                m = upsample_mask(active_mask, x.shape[1:3]).astype(x.dtype)
+                x = x * m
+            else:
+                m = None
+            for blk in self.stages_[i]:
+                x = blk(x, mask=m, deterministic=deterministic)
+            if collect:
+                outs.append(x)
+        return (x, outs) if collect else x
+
+    def __call__(self, x, active_mask=None, deterministic: bool = True):
+        """Full forward.  Returns all scales if ``out_all_scale``."""
+        if self.out_all_scale:
+            _, outs = self.run_stages(
+                x, 0, 4, active_mask, deterministic, collect=True
+            )
+            return outs
+        x = self.run_stages(x, 0, 4, active_mask, deterministic)
+        if self.norm_out:
+            x = self.out_norm(x)
+        return x
+
+    def forward1(self, x, active_mask=None, deterministic: bool = True):
+        """Stages 0..out_indices inclusive (``mask_convnextv2.py:212-244``)."""
+        return self.run_stages(
+            x, 0, self.out_indices + 1, active_mask, deterministic
+        )
+
+    def forward2(self, x, active_mask=None, deterministic: bool = True):
+        """Remaining stages (``mask_convnextv2.py:246-261``)."""
+        x = self.run_stages(
+            x, self.out_indices + 1, 4, active_mask, deterministic
+        )
+        if self.norm_out:
+            x = self.out_norm(x)
+        return x
+
+
+class _Stem(nn.Module):
+    dim: int
+    kernel: Tuple[int, int]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.dim,
+            self.kernel,
+            strides=self.kernel,
+            padding="VALID",
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+
+
+class _Downsample(nn.Module):
+    dim: int
+    kernel: Tuple[int, int]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return nn.Conv(
+            self.dim,
+            self.kernel,
+            strides=self.kernel,
+            padding="VALID",
+            dtype=self.dtype,
+            name="conv",
+        )(x)

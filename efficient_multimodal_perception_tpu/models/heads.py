@@ -1,0 +1,204 @@
+"""Task heads: occupancy MLP, point MLP, elevation U-Net, resnet block.
+
+Rebuilds of ``mmdet3d/models/dense_heads/{mlp,point_mlp,unet,
+resnet_basic_block}.py``.  All 1x1x1 Conv3d stacks become plain Dense
+layers over channels-last voxel tensors — on TPU these are pure MXU
+matmuls over the (X*Y*Z) batch of voxels.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_ignore(
+    logits: jax.Array, targets: jax.Array, ignore_index: int = 255
+) -> jax.Array:
+    """Mean CE with ignore_index, matching ``F.cross_entropy``
+    (``mlp.py:85``)."""
+    valid = targets != ignore_index
+    tgt = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    v = valid.astype(nll.dtype)
+    return (nll * v).sum() / jnp.maximum(v.sum(), 1.0)
+
+
+class OccMlpHead(nn.Module):
+    """Occupancy head: C -> 2C -> C -> num_classes 1x1x1 convs
+    (``mlp.py:18-70``)."""
+
+    input_dim: int
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            2 * self.input_dim, use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dense(
+            self.input_dim, use_bias=False, dtype=self.dtype, name="conv2"
+        )(x)
+        x = nn.relu(x)
+        return nn.Dense(
+            self.num_classes, use_bias=False, dtype=self.dtype, name="conv3"
+        )(x)
+
+    def loss(self, pred, target):
+        """CE with ignore 255 (``mlp.py:73-88``)."""
+        return cross_entropy_ignore(pred, target)
+
+
+class PointMlpHead(nn.Module):
+    """Per-point MLP head (color decoder, ``point_mlp.py:9-61``)."""
+
+    input_dim: int
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(2 * self.input_dim, use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.input_dim, use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_classes, use_bias=False, dtype=self.dtype)(x)
+
+
+def masked_mse_loss(pred, target, mask):
+    """Masked MSE, sum/mask-count (``unet.py:66-82``)."""
+    m = mask.astype(jnp.float32)
+    loss = (pred.astype(jnp.float32) * m - target.astype(jnp.float32) * m) ** 2
+    return loss.sum() / (m.sum() + 1e-8)
+
+
+class _ResBlock(nn.Module):
+    dim: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        r = x
+        y = nn.Conv(
+            self.dim, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype
+        )(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if r.shape != y.shape:
+            r = nn.Conv(
+                self.dim, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            r = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(r)
+        return nn.relu(y + r)
+
+
+class ElevUNetHead(nn.Module):
+    """Elevation head: Conv3d collapse + resnet34-style U-Net.
+
+    Functional equivalent of ``unet.py:19-63`` (which wraps
+    ``segmentation_models_pytorch.Unet(resnet34)``): a 3x3x3 conv
+    collapses features to 1 channel, the height axis becomes the channel
+    axis, the map is padded to 128x128, decoded by an encoder-decoder
+    with resnet34 stage depths (3,4,6,3), and cropped back.
+    """
+
+    input_dim: int
+    height_dim: int
+    pad: int = 14
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: ``(B, X, Y, Z, C)`` voxel features -> ``(B, X, Y)`` heights."""
+        B, X, Y, Z, C = x.shape
+        # 3-D conv collapse to one channel (unet.py:27-37)
+        y = nn.Conv(
+            1, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="proj",
+        )(x)
+        y = nn.relu(y)[..., 0]  # (B, X, Y, Z)
+        y = jnp.pad(
+            y, ((0, 0), (self.pad, self.pad), (self.pad, self.pad), (0, 0))
+        )
+
+        # resnet34-style encoder over the Z-as-channels map
+        stem = nn.Conv(
+            64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype,
+            name="stem",
+        )(y)
+        stem = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="stem_bn"
+        )(stem)
+        stem = nn.relu(stem)
+        feats = [y, stem]
+        h = nn.max_pool(stem, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, (depth, dim) in enumerate(
+            zip((3, 4, 6, 3), (64, 128, 256, 512))
+        ):
+            for j in range(depth):
+                stride = 2 if (j == 0 and i > 0) else 1
+                h = _ResBlock(
+                    dim, stride, dtype=self.dtype, name=f"enc{i}_{j}"
+                )(h, train)
+            feats.append(h)
+
+        # U-Net decoder: upsample + skip concat + double conv
+        dec_dims = (256, 128, 64, 32, 16)
+        skips = feats[-2::-1]  # deepest-1 ... input
+        for i, dim in enumerate(dec_dims):
+            bh, bw = h.shape[1] * 2, h.shape[2] * 2
+            h = jax.image.resize(
+                h, (h.shape[0], bh, bw, h.shape[3]), "nearest"
+            )
+            if i < len(skips):
+                h = jnp.concatenate([h, skips[i]], axis=-1)
+            for j in range(2):
+                h = nn.Conv(
+                    dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name=f"dec{i}_{j}",
+                )(h)
+                h = nn.BatchNorm(
+                    use_running_average=not train, dtype=self.dtype,
+                    name=f"dec{i}_{j}_bn",
+                )(h)
+                h = nn.relu(h)
+        out = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="head")(h)
+        out = out[..., 0]
+        return out[:, self.pad : self.pad + X, self.pad : self.pad + Y]
+
+    def loss(self, pred, target, mask):
+        return masked_mse_loss(pred, target, mask)
+
+
+class ResnetBasicBlockHead(nn.Module):
+    """Lighter elevation head (``resnet_basic_block.py:10-69``)."""
+
+    input_dim: int
+    height_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, X, Y, Z, C = x.shape
+        y = nn.Conv(
+            1, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype
+        )(x)
+        y = nn.relu(y)[..., 0]  # (B, X, Y, Z) -> Z as channels
+        y = _ResBlock(self.height_dim, 1, dtype=self.dtype)(y, train)
+        return nn.Conv(1, (1, 1), dtype=self.dtype)(y)[..., 0]
+
+    def loss(self, pred, target, mask):
+        return masked_mse_loss(pred, target, mask)

@@ -1,0 +1,310 @@
+"""MixVisionTransformer neck + reconstruction decoder head (flax, NHWC).
+
+Rebuild of the reference's SegFormer-style modules:
+
+* ``MixVisionTransformer`` neck mapping the fused 768-ch (128, 32) feature
+  map to the (128, 128, 96) triplane (``mmdet3d/models/necks/mit.py:286-379``)
+  and its ``High`` 256x256 variant (``mit.py:381-479``).
+* ``MixVisionTransformerHead`` MAE reconstruction decoder
+  (``mmdet3d/models/dense_heads/mit_decoder.py:286-440``) with
+  patchify/unpatchify and the masked-MSE ``forward_loss``.
+
+The neck's quirky square reshape — 4096 tokens from a (128, 32) grid
+reinterpreted as a 64x64 image (``mit.py:366-372``) — is reproduced
+exactly; it is the mechanism that turns the stacked camera+range strip
+into a square triplane.
+
+Attention is 2 blocks x 4 heads over <=8192 tokens; at this size plain
+``jnp.einsum`` softmax attention maps straight onto the MXU and needs no
+flash kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class EfficientAttention(nn.Module):
+    """SegFormer attention with optional K/V spatial reduction.
+
+    Mirrors ``mit.py:74-156``: q from all tokens, k/v optionally from a
+    ``sr_ratio``-strided conv of the token grid (a 64x seq reduction for
+    the decoders' ``sr_ratio=4``).
+    """
+
+    dim: int
+    num_heads: int = 8
+    sr_ratio: int = 1
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int]):
+        B, N, C = x.shape
+        H, W = hw
+        h = self.num_heads
+        hd = C // h
+        scale = hd**-0.5
+
+        q = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+        if self.sr_ratio > 1:
+            x_ = x.reshape(B, H, W, C)
+            x_ = nn.Conv(
+                C,
+                (self.sr_ratio, self.sr_ratio),
+                strides=(self.sr_ratio, self.sr_ratio),
+                padding="VALID",
+                dtype=self.dtype,
+                name="sr",
+            )(x_)
+            x_ = x_.reshape(B, -1, C)
+            x_ = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(x_)
+        else:
+            x_ = x
+        kv = nn.Dense(
+            2 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
+        )(x_)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    """fc1 -> 3x3 depthwise conv on the token grid -> GELU -> fc2.
+
+    Mirrors ``Mlp``+``DWConv`` (``mit.py:16-71,483-510``).
+    """
+
+    dim: int
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int]):
+        B, N, C = x.shape
+        H, W = hw
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = x.reshape(B, H, W, self.hidden_dim)
+        x = nn.Conv(
+            self.hidden_dim,
+            (3, 3),
+            padding=1,
+            feature_group_count=self.hidden_dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = x.reshape(B, N, self.hidden_dim)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class MiTBlock(nn.Module):
+    """Pre-norm attention + MixFFN block (``mit.py:159-221``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sr_ratio: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int]):
+        x = x + EfficientAttention(
+            self.dim,
+            num_heads=self.num_heads,
+            sr_ratio=self.sr_ratio,
+            dtype=self.dtype,
+            name="attn",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), hw)
+        x = x + MixFFN(
+            self.dim,
+            int(self.dim * self.mlp_ratio),
+            dtype=self.dtype,
+            name="mlp",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), hw)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Conv patch embed with overlap + LN (``mit.py:224-282``)."""
+
+    patch_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ph, pw = self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            (ph, pw),
+            strides=self.stride,
+            padding=((ph // 2, ph // 2), (pw // 2, pw // 2)),
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x, (H, W)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """NHWC pixel shuffle, matching ``torch.nn.PixelShuffle`` channel order."""
+    B, H, W, C = x.shape
+    c = C // (r * r)
+    x = x.reshape(B, H, W, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H * r, W * r, c)
+
+
+class MixVisionTransformer(nn.Module):
+    """The triplane former (``mit.py:286-379``).
+
+    (B, 128, 32, 768) fused strip -> 1x1 patch embed (4096 tokens, dim
+    ``embed_dim``) -> 2 blocks -> square 64x64 reshape -> pixel shuffle x2
+    -> conv3x3 256->128 -> ReLU -> conv3x3 128->96 -> (B, 128, 128, 96),
+    interpreted downstream as 3 planes x 32 channels.
+    """
+
+    img_size: Tuple[int, int] = (128, 32)
+    patch_size: int = 1
+    in_chans: int = 768
+    embed_dim: int = 768
+    high: bool = False  # MixVisionTransformerHigh variant (mit.py:381-479)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        x, (H, W) = OverlapPatchEmbed(
+            (self.patch_size, self.patch_size),
+            (1, 1),
+            self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        dim = int((H * W) ** 0.5)
+        assert dim * dim == H * W, "token count must be square (mit.py:367)"
+        for i in range(2):
+            x = MiTBlock(
+                self.embed_dim,
+                num_heads=4,
+                mlp_ratio=2,
+                sr_ratio=1,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, (H, W))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(B, dim, dim, self.embed_dim)
+        x = pixel_shuffle(x, 2)
+        if not self.high:
+            x = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+            x = nn.relu(x)
+            x = nn.Conv(96, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        else:
+            x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+            x = nn.relu(x)
+            x = nn.ConvTranspose(
+                256, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                name="conv_transpose",
+            )(x)
+            x = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+            x = nn.relu(x)
+            x = nn.Conv(96, (3, 3), padding=1, dtype=self.dtype, name="conv3")(x)
+        return x
+
+
+class MixVisionTransformerHead(nn.Module):
+    """MAE reconstruction decoder (``mit_decoder.py:286-440``).
+
+    Patch-embeds the scattered triplane features, runs 2 sr_ratio=4
+    blocks, and predicts ``p0*p1*img_chans`` values per patch.
+    """
+
+    patch_size: Tuple[int, int] = (7, 7)
+    stride: Tuple[int, int] = (4, 4)
+    in_chans: int = 32
+    embed_dim: int = 96
+    actual_patch_size: Tuple[int, int] = (4, 4)
+    img_in_chans: int = 3
+    norm_pix_loss: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        x, (H, W) = OverlapPatchEmbed(
+            tuple(self.patch_size),
+            tuple(self.stride),
+            self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        for i in range(2):
+            x = MiTBlock(
+                self.embed_dim,
+                num_heads=4,
+                mlp_ratio=2,
+                sr_ratio=4,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, (H, W))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(B, H, W, self.embed_dim)
+        p0, p1 = self.actual_patch_size
+        x = nn.Conv(
+            p0 * p1 * self.img_in_chans,
+            (1, 1),
+            dtype=self.dtype,
+            name="decoder_pred",
+        )(x)
+        return x
+
+    def patchify(self, imgs: jax.Array) -> jax.Array:
+        """(B, H, W, C) -> (B, h, w, p0*p1*C), reference channel order.
+
+        ``mit_decoder.py:379-398`` flattens as (p0, p1, C) with einsum
+        ``nchpwq->npqchw``; channels-last equivalent below.
+        """
+        p0, p1 = self.actual_patch_size
+        B, H, W, C = imgs.shape
+        h, w = H // p0, W // p1
+        x = imgs.reshape(B, h, p0, w, p1, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # B h w p0 p1 C
+        return x.reshape(B, h, w, p0 * p1 * C)
+
+    def unpatchify(self, x: jax.Array) -> jax.Array:
+        """Inverse of :meth:`patchify` (``mit_decoder.py:400-418``)."""
+        p0, p1 = self.actual_patch_size
+        B, h, w, _ = x.shape
+        C = self.img_in_chans
+        x = x.reshape(B, h, w, p0, p1, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(B, h * p0, w * p1, C)
+
+    def forward_loss(self, imgs, pred, mask):
+        """Masked patch-MSE (``mit_decoder.py:420-440``).
+
+        Args:
+            imgs: ``(B, H, W, C)`` target image.
+            pred: ``(B, h, w, p0*p1*C)`` patch predictions.
+            mask: ``(B, H, W, C)`` weight (1 = supervise).
+        """
+        target = self.patchify(imgs)
+        m = self.patchify(mask)
+        loss = (pred - target) ** 2
+        return (loss * m).sum() / m.sum()

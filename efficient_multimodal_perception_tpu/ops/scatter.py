@@ -1,0 +1,129 @@
+"""Segment/scatter ops: the TPU replacement for spconv + torch_scatter.
+
+The reference's point-family projector
+(``mmdet3d/models/backbones/point_triplane_projector.py:66-117``) builds a
+``spconv.SparseConvTensor`` over a 128x128x80 grid, per-voxel-dedups points
+with ``torch_scatter.scatter_max`` and then runs three axis-wise
+``SparseMaxPool3d`` collapses.  Both CUDA libraries reduce to one primitive
+here: a masked ``segment_max`` from points directly into the *pooled* cell
+grid (max of per-voxel maxes == max over the union of points, and spconv's
+"empty voxels produce 0 in .dense()" convention is reproduced by writing 0
+into empty segments).  No sparse tensor is ever materialized — XLA lowers
+the whole thing to one scatter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_segment_max(
+    feats: jax.Array,
+    seg_ids: jax.Array,
+    valid: jax.Array,
+    num_segments: int,
+    empty_value: float = 0.0,
+) -> jax.Array:
+    """Per-segment max over valid rows; empty segments get ``empty_value``.
+
+    Args:
+        feats: ``(P, C)`` features.
+        seg_ids: ``(P,)`` int segment ids in ``[0, num_segments)``.
+        valid: ``(P,)`` bool; invalid rows are routed to a slop segment.
+        num_segments: number of real segments.
+
+    Returns:
+        ``(num_segments, C)``.
+    """
+    neg = jnp.asarray(-jnp.inf, feats.dtype)
+    ids = jnp.where(valid, seg_ids, num_segments)
+    out = jax.ops.segment_max(
+        jnp.where(valid[:, None], feats, neg), ids, num_segments=num_segments + 1
+    )[:num_segments]
+    return jnp.where(jnp.isfinite(out), out, empty_value)
+
+
+def masked_segment_sum(
+    feats: jax.Array, seg_ids: jax.Array, valid: jax.Array, num_segments: int
+) -> jax.Array:
+    """Per-segment sum over valid rows (collision-accumulating scatter).
+
+    Used where the reference relies on ``+=`` scatter accumulation
+    (``joint_encoder.py:209,213``) — unlike ``.at[].set`` this reproduces
+    additive collisions deterministically.
+    """
+    ids = jnp.where(valid, seg_ids, num_segments)
+    zeros = jnp.where(valid[..., None], feats, 0)
+    return jax.ops.segment_sum(zeros, ids, num_segments=num_segments + 1)[
+        :num_segments
+    ]
+
+
+def scatter_set_2d(
+    canvas: jax.Array,
+    rows: jax.Array,
+    cols: jax.Array,
+    valid: jax.Array,
+    values: jax.Array,
+) -> jax.Array:
+    """Write ``values`` into ``canvas[row, col]`` where valid.
+
+    Matches the reference's advanced-index assignment
+    (``triplane.py:390``): on duplicate targets one writer wins
+    (unspecified which, same as torch/CUDA).
+
+    Args:
+        canvas: ``(H, W, C)``.
+        rows/cols: ``(P,)`` int coords.
+        valid: ``(P,)`` bool.
+        values: ``(P, C)``.
+    """
+    H, W, _ = canvas.shape
+    rows = jnp.where(valid, rows, H)  # dropped by scatter bounds mode
+    flat = canvas.reshape(-1, canvas.shape[-1])
+    out = flat.at[rows * W + cols].set(values, mode="drop")
+    return out.reshape(canvas.shape)
+
+
+def point_axis_pools(
+    feats: jax.Array,
+    grid_idx: jax.Array,
+    valid: jax.Array,
+    grid_size,
+    split,
+):
+    """The three axis-collapsed dense pools of the point projector.
+
+    Equivalent of ``point_triplane_projector.py:53-58,111-115``: with grid
+    (X, Y, Z) and split (sx, sy, sz), pooling kernels are (1,1,Z/sz),
+    (X/sx,1,1) and (1,Y/sy,1), so the pooled shapes are
+
+        xy: (X, Y, sz)   yz: (sx, Y, Z)   xz: (X, sy, Z)
+
+    Returns dense pooled tensors (channels last) ready for the axis-flatten
+    + per-plane MLP:
+        ``xy (B?, X, Y, sz, C), yz (sx, Y, Z, C), xz (X, sy, Z, C)``
+    for a single sample (batch handled by vmap or batch-offset ids).
+
+    Args:
+        feats: ``(P, C)`` per-point features.
+        grid_idx: ``(P, 3)`` int voxel indices in [0, grid).
+        valid: ``(P,)`` mask.
+        grid_size: (X, Y, Z).
+        split: (sx, sy, sz) pooled resolutions.
+    """
+    X, Y, Z = grid_size
+    sx, sy, sz = split
+    kx, ky, kz = X // sx, Y // sy, Z // sz
+    gx, gy, gz = grid_idx[:, 0], grid_idx[:, 1], grid_idx[:, 2]
+
+    xy_id = (gx * Y + gy) * sz + gz // kz
+    yz_id = ((gx // kx) * Y + gy) * Z + gz
+    xz_id = (gx * sy + gy // ky) * Z + gz
+
+    C = feats.shape[-1]
+    xy = masked_segment_max(feats, xy_id, valid, X * Y * sz).reshape(X, Y, sz, C)
+    yz = masked_segment_max(feats, yz_id, valid, sx * Y * Z).reshape(sx, Y, Z, C)
+    xz = masked_segment_max(feats, xz_id, valid, X * sy * Z).reshape(X, sy, Z, C)
+    return xy, yz, xz
