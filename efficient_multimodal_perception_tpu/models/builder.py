@@ -10,6 +10,7 @@ names so configs read the same.
 from __future__ import annotations
 
 import copy
+import functools
 from typing import Any, Dict
 
 _REGISTRY: Dict[str, Any] = {}
@@ -65,6 +66,9 @@ def _register_all():
             "MaskConvNeXt": MaskConvNeXt,
             "MaskConvNeXtV2": MaskConvNeXt,  # split-forward is built in
             "MixVisionTransformer": MixVisionTransformer,
+            "MixVisionTransformerHigh": functools.partial(
+                MixVisionTransformer, high=True
+            ),
             "MixVisionTransformerHead": MixVisionTransformerHead,
             "JointEncoder": JointEncoder,
             "InterpNet": InterpNet,

@@ -23,11 +23,12 @@ Supported arch settings mirror ``mask_convnext.py:66-71``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 ARCH_SETTINGS = {
     "tiny": {"depths": (3, 3, 9, 3), "channels": (96, 192, 384, 768)},
@@ -139,7 +140,7 @@ class MaskConvNeXt(nn.Module):
             the actual weight freeze).
     """
 
-    arch: str = "tiny"
+    arch: Any = "tiny"  # name or {"depths": ..., "channels": ...} dict
     in_channels: int = 3
     stem_patch_size: Tuple[int, int] = (4, 4)
     downsample_height: bool = True
@@ -152,16 +153,17 @@ class MaskConvNeXt(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        cfg = ARCH_SETTINGS[self.arch]
+        cfg = (
+            ARCH_SETTINGS[self.arch]
+            if isinstance(self.arch, str)
+            else dict(self.arch)
+        )
         depths, channels = cfg["depths"], cfg["channels"]
         self.depths = depths
         self.channels = channels
         down_kernel = (2, 2) if self.downsample_height else (1, 2)
 
-        dpr = [
-            float(x)
-            for x in jnp.linspace(0, self.drop_path_rate, sum(depths))
-        ]
+        dpr = list(np.linspace(0, self.drop_path_rate, sum(depths)))
 
         downs = []
         stages = []

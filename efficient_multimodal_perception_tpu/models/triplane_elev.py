@@ -1,0 +1,83 @@
+"""TriplaneElev: BEV elevation regression fine-tune.
+
+Rebuild of ``mmdet3d/models/detectors/triplane_elev.py`` (:23-380): frozen
+triplane encoder, features sampled at a (100, 100, 80) voxel-center grid
+(0.4 m / 0.1 m cells over pc_range [-20, 20]), U-Net head, masked MSE.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.geometry import volume_reference_points
+from ..data.batch import Batch
+from ..ops.sampling import grid_sample_2d, normalize_triplane_coords
+from .builder import build
+from .range_family import encode_triplane
+
+
+class TriplaneElev(nn.Module):
+    """Elevation model (attributes mirror ``triplane_elev.py:23-66``)."""
+
+    encoder: dict
+    neck: dict
+    decoder: dict
+    volume: tuple = (100, 100, 80)
+    voxel_size: tuple = (0.4, 0.4, 0.1)
+    pc_range: tuple = (-20, -20, -5, 20, 20, 3)
+    triplane_range: tuple = (-25, -25, -5, 25, 25, 3)
+    embed_dim: int = 768
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder_net = build(self.encoder, dtype=self.dtype, name="encoder")
+        self.neck_net = build(self.neck, dtype=self.dtype, name="neck")
+        self.decoder_net = build(self.decoder, dtype=self.dtype, name="decoder")
+        # NOTE: the reference stacks (ys, xs, zs) then scales channel i by
+        # voxel_size[i] (triplane_elev.py:113-133, 258-261); the grid is
+        # symmetric in x/y here so this matches it exactly.
+        self.ref_3d = volume_reference_points(
+            self.volume, self.voxel_size, self.pc_range
+        )
+
+    def __call__(self, batch: Batch, deterministic: bool = True):
+        """Returns ``(pred (B, X, Y), losses)``
+        (``triplane_elev.py:211-283``)."""
+        mask_rng = self.make_rng("mask") if self.has_rng("mask") else None
+        triplane, _ = encode_triplane(
+            self.encoder_net,
+            self.neck_net,
+            batch,
+            self.triplane_range,
+            self.embed_dim,
+            deterministic,
+            mask_rng,
+            crop=False,  # elev forward has no range crop (:231)
+        )
+
+        B = triplane.shape[0]
+        S = triplane.shape[-2]
+        ref = jnp.broadcast_to(
+            jnp.asarray(self.ref_3d)[None], (B, *self.ref_3d.shape)
+        )
+        # sampling normalizes against the *triplane* range/voxels
+        # (triplane_elev.py:288-300 uses triplane_range + voxel_size)
+        coords = normalize_triplane_coords(
+            ref, self.triplane_range, self.voxel_size, S
+        )
+        xy = grid_sample_2d(triplane[:, 0], coords[..., jnp.array([0, 1])])
+        yz = grid_sample_2d(triplane[:, 1], coords[..., jnp.array([1, 2])])
+        xz = grid_sample_2d(triplane[:, 2], coords[..., jnp.array([0, 2])])
+        voxel_feat = xy + yz + xz  # (B, X, Y, Z, C)
+
+        pred = self.decoder_net(voxel_feat, train=not deterministic)
+
+        losses = {}
+        if batch.elevation is not None:
+            losses["loss"] = self.decoder_net.loss(
+                pred, batch.elevation, batch.elevation_mask
+            )
+        return pred, losses

@@ -1,0 +1,69 @@
+"""Occupancy IoU metrics, matching the reference bit-for-bit.
+
+``evaluation_semantic`` ports ``triplane_occ.py:468-500`` (per-class
+(tp, gt, pred) counts with gt==255 ignored; class 0 = geometry IoU), and
+``aggregate_iou`` ports the aggregation in ``mmdet3d/apis/test.py:44-74``
+— per-sample score tensors are **summed then ratioed** after stacking
+(the reference takes the mean over samples of each count, which cancels
+in the ratio; we keep sums), with mIoU = nanmean over classes 1..K-1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def evaluation_semantic(
+    pred: jax.Array, gt: jax.Array, class_num: int
+) -> jax.Array:
+    """Per-sample per-class (tp, g, p) counts.
+
+    Args:
+        pred: ``(B, ...)`` int predicted classes.
+        gt: ``(B, ...)`` int labels, 255 = ignore.
+        class_num: number of classes incl. the geometry pseudo-class 0.
+
+    Returns:
+        ``(B, class_num, 3)`` float32 counts (tp, gt-count, pred-count).
+    """
+    B = pred.shape[0]
+    p = pred.reshape(B, -1)
+    g = gt.reshape(B, -1)
+    mask = g != 255
+
+    scores = []
+    for j in range(class_num):
+        if j == 0:
+            tp = ((g != 0) & (p != 0) & mask).sum(axis=1)
+            gc = ((g != 0) & mask).sum(axis=1)
+            pc = ((p != 0) & mask).sum(axis=1)
+        else:
+            tp = ((g == j) & (p == j) & mask).sum(axis=1)
+            gc = ((g == j) & mask).sum(axis=1)
+            pc = ((p == j) & mask).sum(axis=1)
+        scores.append(jnp.stack([tp, gc, pc], axis=-1))
+    return jnp.stack(scores, axis=1).astype(jnp.float32)
+
+
+def aggregate_iou(scores: np.ndarray) -> dict:
+    """Aggregate stacked per-sample scores into IoU / mIoU.
+
+    Args:
+        scores: ``(num_samples, class_num, 3)``.
+
+    Returns:
+        dict with ``iou`` (class 0, geometry), ``miou`` (nanmean of
+        classes 1..), ``per_class`` list.
+    """
+    mean = np.asarray(scores, np.float64).mean(axis=0)  # test.py:54-71
+    tp, g, p = mean[:, 0], mean[:, 1], mean[:, 2]
+    denom = g + p - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(denom > 0, tp / denom, np.nan)
+    return {
+        "iou": float(iou[0]),
+        "miou": float(np.nanmean(iou[1:])) if len(iou) > 1 else float("nan"),
+        "per_class": [float(v) for v in iou],
+    }

@@ -1,0 +1,227 @@
+"""Generic trainer: one train step for all five task models.
+
+The reference duplicates an identical ``train_step``/``_parse_losses``
+block in every detector (``triplane.py:516-581``, ``triplane_occ.py:
+350-415``, ``point_triplane.py:469-534``, ...); here it is one jitted
+function.  Loss summation mirrors ``_parse_losses``: total = sum of all
+entries whose key contains "loss" (``triplane.py:571``); every entry is
+logged, means are all-reduced by XLA across the data mesh (the manual
+``dist.all_reduce`` at ``triplane.py:576-579`` disappears into SPMD).
+
+Optimizer mirrors the configs: AdamW(betas=(0.95, 0.99), wd=1e-3), linear
+warmup + cosine anneal to ``min_lr_ratio`` (``configs/cosine_2x.py`` +
+per-config blocks), global-norm clip 35 (``optimizer_config`` in every
+config).  Freezing (``freeze_encoder``) is an ``optax.multi_transform``
+over param-path prefixes; frozen weights also get zero weight-decay,
+matching torch's requires_grad=False semantics exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Carried training state (a pytree)."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # BatchNorm running stats ({} for most models)
+
+
+jax.tree_util.register_dataclass(
+    TrainState,
+    data_fields=["step", "params", "opt_state", "batch_stats"],
+    meta_fields=[],
+)
+
+
+def cosine_schedule(
+    base_lr: float,
+    total_steps: int,
+    warmup_iters: int = 20,
+    warmup_ratio: float = 0.1,
+    min_lr_ratio: float = 0.1,
+):
+    """Linear warmup from ``base_lr * warmup_ratio`` + cosine to
+    ``base_lr * min_lr_ratio`` (mmcv CosineAnnealingLrUpdater semantics).
+    """
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (
+            warmup_ratio + (1 - warmup_ratio) * step / max(warmup_iters, 1)
+        )
+        t = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        cos = base_lr * (
+            min_lr_ratio + (1 - min_lr_ratio) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+        )
+        return jnp.where(step < warmup_iters, warm, cos)
+
+    return schedule
+
+
+def freeze_mask(params, freeze_prefixes: Sequence[str]):
+    """Label tree: True = trainable, False = frozen.
+
+    Matches the reference's module-level freeze
+    (``triplane_occ.py:83-91``): a param is frozen when its top-level
+    path starts with any prefix in ``freeze_prefixes`` (e.g. "encoder",
+    "neck"), or with the per-stage prefixes "encoder/…/stage0" style
+    entries for ``frozen_stages``.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+
+    frozen = {
+        path_str(path): any(
+            path_str(path).startswith(pref) for pref in freeze_prefixes
+        )
+        for path, _ in flat
+    }
+
+    def label(path, _):
+        return not frozen[path_str(path)]
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    cfg: dict,
+    total_steps: int,
+    params,
+    freeze_prefixes: Sequence[str] = (),
+):
+    """optax chain mirroring the reference's optimizer+lr configs."""
+    opt_cfg = cfg["optimizer"]
+    sched = cosine_schedule(
+        opt_cfg["lr"],
+        total_steps,
+        cfg["lr_config"].get("warmup_iters", 20),
+        cfg["lr_config"].get("warmup_ratio", 0.1),
+        cfg["lr_config"].get("min_lr_ratio", 0.1),
+    )
+    adamw = optax.chain(
+        optax.clip_by_global_norm(cfg.get("grad_clip", 35.0)),
+        optax.adamw(
+            sched,
+            b1=opt_cfg["betas"][0],
+            b2=opt_cfg["betas"][1],
+            weight_decay=opt_cfg.get("weight_decay", 1e-3),
+        ),
+    )
+    if not freeze_prefixes:
+        return adamw
+    mask = freeze_mask(params, freeze_prefixes)
+    return optax.multi_transform(
+        {True: adamw, False: optax.set_to_zero()}, mask
+    )
+
+
+def total_loss(losses: dict) -> jax.Array:
+    """Sum entries whose key contains "loss" (``triplane.py:571``)."""
+    total = jnp.zeros((), jnp.float32)
+    for k, v in losses.items():
+        if "loss" in k:
+            total = total + jnp.asarray(v, jnp.float32)
+    return total
+
+
+def normalize_output(out) -> dict:
+    """Task models return either a loss dict or (pred..., losses)."""
+    return out[-1] if isinstance(out, tuple) else out
+
+
+def make_train_step(
+    model,
+    optimizer,
+    rng_names: Sequence[str] = (),
+    deterministic: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step_fn(state, batch, rng) -> (state, log_vars)``.  Under a
+    data mesh, jit's SPMD partitioner inserts the gradient psums; the
+    log_vars are already the global means (loss is computed on the local
+    shard and averaged implicitly through the mean reduction of each
+    loss term over batch elements).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        rngs = {name: jax.random.fold_in(rng, i) for i, name in
+                enumerate(rng_names)}
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, new_vars = model.apply(
+            variables,
+            batch,
+            deterministic=deterministic,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        losses = normalize_output(out)
+        loss = total_loss(losses)
+        new_stats = new_vars.get("batch_stats", batch_stats)
+        return loss, (losses, new_stats)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        log_vars = {k: jnp.asarray(v, jnp.float32) for k, v in losses.items()}
+        log_vars["loss"] = loss
+        log_vars["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=new_stats,
+        )
+        return new_state, log_vars
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_state(
+    model,
+    batch,
+    optimizer,
+    seed: int = 0,
+    rng_names: Sequence[str] = (),
+    init_params: Optional[Any] = None,
+) -> TrainState:
+    """Initialize (or adopt) params + optimizer state."""
+    rngs = {"params": jax.random.key(seed)}
+    for i, name in enumerate(rng_names):
+        rngs[name] = jax.random.fold_in(jax.random.key(seed + 1), i)
+    variables = jax.jit(
+        lambda b: model.init(rngs, b, deterministic=True)
+    )(batch)
+    params = init_params if init_params is not None else variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        batch_stats=batch_stats,
+    )

@@ -1,0 +1,96 @@
+"""Scatter / segment / radius op tests vs numpy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficient_multimodal_perception_tpu.ops.scatter import (
+    masked_segment_max,
+    masked_segment_sum,
+    point_axis_pools,
+    scatter_set_2d,
+)
+from efficient_multimodal_perception_tpu.ops.radius import radius_neighbors
+
+
+def test_masked_segment_max_empty_zero():
+    feats = jnp.asarray([[1.0, -2.0], [3.0, -4.0], [9.0, 9.0]])
+    ids = jnp.asarray([0, 0, 2])
+    valid = jnp.asarray([True, True, False])
+    out = np.asarray(masked_segment_max(feats, ids, valid, 3))
+    # segment 0: max; segment 1 empty -> 0; segment 2 only-invalid -> 0
+    np.testing.assert_allclose(out, [[3, -2], [0, 0], [0, 0]])
+
+
+def test_masked_segment_sum_collisions():
+    feats = jnp.ones((4, 1))
+    ids = jnp.asarray([1, 1, 1, 0])
+    valid = jnp.asarray([True, True, False, True])
+    out = np.asarray(masked_segment_sum(feats, ids, valid, 2))
+    np.testing.assert_allclose(out, [[1], [2]])
+
+
+def test_point_axis_pools_vs_dense_oracle():
+    """Direct per-point pooling == scatter-max-to-voxels + axis max-pool
+    (the spconv pipeline, point_triplane_projector.py:104-115)."""
+    rng = np.random.default_rng(0)
+    grid, split = (8, 8, 4), (4, 4, 2)
+    P, C = 200, 6
+    idx = rng.integers(0, [8, 8, 4], size=(P, 3)).astype(np.int32)
+    feats = rng.standard_normal((P, C)).astype(np.float32)
+    valid = rng.random(P) > 0.2
+
+    xy, yz, xz = point_axis_pools(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(valid), grid, split
+    )
+
+    # oracle: dense voxel grid via scatter max, empty=0 after pooling
+    dense = np.full((*grid, C), -np.inf, np.float32)
+    for p in range(P):
+        if valid[p]:
+            i, j, k = idx[p]
+            dense[i, j, k] = np.maximum(dense[i, j, k], feats[p])
+
+    def pool(d, axis, out_size):
+        k = d.shape[axis] // out_size
+        parts = np.split(d, out_size, axis=axis)
+        pooled = np.stack([p.max(axis=axis) for p in parts], axis=axis)
+        pooled[pooled == -np.inf] = 0.0
+        return pooled
+
+    np.testing.assert_allclose(np.asarray(xy), pool(dense, 2, 2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yz), pool(dense, 0, 4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xz), pool(dense, 1, 4), atol=1e-6)
+
+
+def test_scatter_set_2d_drops_invalid():
+    canvas = jnp.zeros((4, 4, 2))
+    rows = jnp.asarray([1, 3, 2])
+    cols = jnp.asarray([1, 3, 0])
+    valid = jnp.asarray([True, False, True])
+    vals = jnp.asarray([[1.0, 1], [2, 2], [3, 3]])
+    out = np.asarray(scatter_set_2d(canvas, rows, cols, valid, vals))
+    assert out[1, 1].tolist() == [1, 1]
+    assert out[3, 3].tolist() == [0, 0]
+    assert out[2, 0].tolist() == [3, 3]
+
+
+def test_radius_neighbors_vs_bruteforce():
+    rng = np.random.default_rng(1)
+    Q, S, r, k = 37, 500, 1.0, 8
+    q = rng.uniform(-3, 3, (Q, 3)).astype(np.float32)
+    s = rng.uniform(-3, 3, (S, 3)).astype(np.float32)
+    valid = rng.random(S) > 0.1
+
+    idx, mask = jax.jit(
+        lambda a, b, v: radius_neighbors(a, b, v, r, k, chunk=16)
+    )(jnp.asarray(q), jnp.asarray(s), jnp.asarray(valid))
+    idx, mask = np.asarray(idx), np.asarray(mask)
+
+    d2 = ((q[:, None] - s[None]) ** 2).sum(-1)
+    d2[:, ~valid] = np.inf
+    for i in range(Q):
+        within = np.where(d2[i] <= r * r)[0]
+        expected = set(within[np.argsort(d2[i][within])][:k])
+        got = set(idx[i][mask[i]])
+        assert got == expected, (i, got, expected)

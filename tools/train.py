@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Mirrors the reference CLI (``/root/reference/tools/train.py:26-94``):
+
+    python tools/train.py <config> --work-dir DIR --data-root DIR \
+        [--resume-from CKPT] [--cfg-options k.sub=v ...] [--synthetic]
+
+Differences by design: no ``--launcher`` (the data mesh spans all visible
+TPU devices automatically; multi-host via ``jax.distributed.initialize``
+when JAX_COORDINATOR is set), and ``--synthetic`` trains on generated
+nuScenes-shaped data for smoke runs without the dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a triplane model")
+    p.add_argument("config", help="config name (e.g. triplane_occ)")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--ckpt-path", default=None,
+                   help="pretrained encoder checkpoint (partial load)")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cfg-options", nargs="*", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if os.environ.get("JAX_COORDINATOR"):
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_multimodal_perception_tpu.configs import (
+        apply_overrides,
+        get_config,
+    )
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import build_model
+    from efficient_multimodal_perception_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+    )
+    from efficient_multimodal_perception_tpu.train import checkpoint as ckpt
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = get_config(args.config)
+    apply_overrides(cfg, args.cfg_options)
+    if args.data_root:
+        cfg["data"]["data_root"] = args.data_root
+    if args.ckpt_path:
+        cfg["model_init"]["ckpt_path"] = args.ckpt_path
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    with open(os.path.join(args.work_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+
+    model = build_model(cfg["model"])
+    rng_names = _rng_names(cfg)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    print(f"devices: {n_dev} ({jax.devices()[0].platform})")
+
+    data_cfg = cfg["data"]
+    needs = dict(
+        with_occ=data_cfg.get("load_occ", False),
+        with_elev=data_cfg.get("load_elev", False),
+    )
+    batch_size = data_cfg["samples_per_device"] * n_dev
+
+    if args.synthetic:
+        def batches():
+            i = 0
+            while True:
+                yield synthetic_batch(
+                    batch_size,
+                    point_budget=data_cfg["point_budget"],
+                    seed=args.seed + i,
+                    as_jax=False,
+                    **needs,
+                )
+                i += 1
+
+        steps_per_epoch = 16
+        batch_iter = batches()
+    else:
+        from efficient_multimodal_perception_tpu.data.nuscenes import (
+            NuScenesDataset,
+            epoch_batches,
+        )
+
+        dataset = NuScenesDataset(data_cfg, split="train", seed=args.seed)
+        steps_per_epoch = len(dataset) // batch_size
+        batch_iter = None  # per-epoch generators below
+
+    total_steps = steps_per_epoch * cfg["epochs"]
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps)
+
+    example = (
+        next(batch_iter)
+        if args.synthetic
+        else dataset.batch(list(range(batch_size)))
+    )
+    example = shard_batch(jax.tree.map(jnp.asarray, example), mesh)
+
+    freeze = tuple(cfg["model_init"].get("freeze", ()))
+    with mesh:
+        # two-phase: init params first, then optimizer (needs params for
+        # the freeze mask)
+        optimizer_probe = make_optimizer(cfg, total_steps, None, ())
+        state = init_state(
+            model, example, optimizer_probe, args.seed, rng_names
+        )
+        if cfg["model_init"].get("ckpt_path"):
+            src = ckpt.restore_params_only(cfg["model_init"]["ckpt_path"])
+            src_params = src.get("params", src)
+            merged, n_ok, n_all = ckpt.partial_load(state.params, src_params)
+            print(f"partial restore: adopted {n_ok}/{n_all} tensors")
+            import dataclasses
+
+            state = dataclasses.replace(state, params=merged)
+        import dataclasses as _dc
+
+        optimizer = make_optimizer(cfg, total_steps, state.params, freeze)
+        state = _dc.replace(state, opt_state=optimizer.init(state.params))
+        if args.resume_from:
+            state = ckpt.restore_checkpoint(args.resume_from, state)
+            print(f"resumed from {args.resume_from} @ step {int(state.step)}")
+
+        step_fn = make_train_step(model, optimizer, rng_names)
+        rng = jax.random.key(args.seed)
+
+        step = int(state.step)
+        start_step = step
+        log_every = cfg.get("log_interval", 50)
+        t0 = time.time()
+        epoch = step // max(steps_per_epoch, 1)
+        while step < total_steps:
+            it = (
+                batch_iter
+                if args.synthetic
+                else epoch_batches(dataset, batch_size, seed=args.seed + epoch)
+            )
+            for b in it:
+                b = shard_batch(jax.tree.map(jnp.asarray, b), mesh)
+                state, logs = step_fn(state, b, rng)
+                step += 1
+                if step % log_every == 0 or step == 1:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    dt = time.time() - t0
+                    print(
+                        f"step {step}/{total_steps} "
+                        f"({dt / max(step - start_step, 1):.2f}s/it) "
+                        + " ".join(f"{k}={v:.4f}" for k, v in logs.items()),
+                        flush=True,
+                    )
+                if step >= total_steps:
+                    break
+            epoch += 1
+            if epoch % cfg["checkpoint"]["interval"] == 0 or step >= total_steps:
+                path = ckpt.save_checkpoint(args.work_dir, step, state)
+                print(f"saved {path}", flush=True)
+
+    print("done")
+
+
+def _rng_names(cfg):
+    names = ["sample", "droppath"]
+    enc = cfg["model"].get("encoder", {})
+    if (
+        enc.get("lidar_mask_ratio", 0) > 0
+        or enc.get("camera_mask_ratio", 0) > 0
+    ):
+        names.append("mask")
+    return tuple(names)
+
+
+if __name__ == "__main__":
+    main()
