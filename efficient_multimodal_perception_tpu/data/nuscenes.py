@@ -210,6 +210,9 @@ class NuScenesDataset:
             pts = np.fromfile(
                 os.path.join(self.root, info["lidar_path"]), np.float32
             ).reshape(-1, cfg["point_dim"])
+            n_sweeps = int(cfg.get("sweeps_num", 0))
+            if n_sweeps > 0:
+                pts = self._aggregate_sweeps(info, pts, n_sweeps)
             P = cfg["point_budget"]
             buf = np.zeros((P, cfg["point_dim"]), np.float32)
             n = min(len(pts), P)
@@ -228,6 +231,36 @@ class NuScenesDataset:
             out["elevation_mask"] = npz["mask"].astype(np.float32)
 
         return out
+
+    def _aggregate_sweeps(self, info, key_pts, sweeps_num):
+        """Multi-sweep aggregation (``pipelines/loading.py:265-322``):
+        transform each sweep into the keyframe LiDAR frame and store the
+        time lag in channel 4.  Keyframe points get lag 0."""
+        key_pts = key_pts.copy()
+        if key_pts.shape[1] > 4:
+            key_pts[:, 4] = 0.0
+        out = [key_pts]
+        sweeps = info.get("sweeps", [])
+        ts = info["timestamp"] / 1e6
+        if len(sweeps) <= sweeps_num:
+            choices = np.arange(len(sweeps))
+        elif not self.is_train:
+            choices = np.arange(sweeps_num)
+        else:
+            choices = self.rng.choice(len(sweeps), sweeps_num, replace=False)
+        for idx in choices:
+            sw = sweeps[idx]
+            p = np.fromfile(
+                os.path.join(self.root, sw["data_path"]), np.float32
+            ).reshape(-1, 5)
+            p[:, :3] = p[:, :3] @ np.asarray(
+                sw["sensor2lidar_rotation"], np.float32
+            ).T + np.asarray(sw["sensor2lidar_translation"], np.float32)
+            p[:, 4] = ts - sw["timestamp"] / 1e6
+            if key_pts.shape[1] > 5:
+                p = np.pad(p, ((0, 0), (0, key_pts.shape[1] - 5)))
+            out.append(p.astype(np.float32))
+        return np.concatenate(out, axis=0)
 
     def batch(self, indices) -> Batch:
         """Stack samples into a :class:`Batch` (numpy)."""

@@ -1,0 +1,124 @@
+"""Point/box augmentation transforms (numpy, sample-level).
+
+Ports of the registered pipeline transforms in
+``mmdet3d/datasets/pipelines/transforms_3d.py`` beyond ImageAug3D /
+ImageNormalize (which live in ``nuscenes.py``): GlobalRotScaleTrans
+(:214-), RandomFlip3D, PointShuffle, PointsRangeFilter,
+ObjectRangeFilter, ObjectNameFilter.  The shipped triplane configs don't
+enable them (SURVEY.md §2g) but the registry surface is part of the
+framework contract.
+
+Each transform is ``f(sample: dict, rng) -> dict`` over numpy arrays
+with keys ``points (N, D)``, optional ``gt_bboxes_3d (M, 7+)``,
+``gt_labels_3d (M,)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def global_rot_scale_trans(
+    sample: dict,
+    rng: np.random.Generator,
+    rot_range=(-0.78539816, 0.78539816),
+    scale_ratio_range=(0.95, 1.05),
+    translation_std=(0, 0, 0),
+) -> dict:
+    """Random global rotation (z), scaling and translation."""
+    angle = rng.uniform(*rot_range)
+    scale = rng.uniform(*scale_ratio_range)
+    trans = rng.normal(scale=translation_std, size=3)
+
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    if "points" in sample:
+        pts = sample["points"].copy()
+        pts[:, :3] = pts[:, :3] @ R.T * scale + trans
+        sample["points"] = pts
+    if sample.get("gt_bboxes_3d") is not None:
+        b = sample["gt_bboxes_3d"].copy()
+        b[:, :3] = b[:, :3] @ R.T * scale + trans
+        b[:, 3:6] *= scale
+        b[:, 6] += angle
+        if b.shape[1] > 7:  # velocities
+            b[:, 7:9] = b[:, 7:9] @ R[:2, :2].T * scale
+        sample["gt_bboxes_3d"] = b
+    sample["pcd_rotation"] = R
+    sample["pcd_scale_factor"] = scale
+    sample["pcd_trans"] = trans
+    return sample
+
+
+def random_flip_3d(
+    sample: dict,
+    rng: np.random.Generator,
+    flip_ratio_bev_horizontal: float = 0.5,
+    flip_ratio_bev_vertical: float = 0.0,
+) -> dict:
+    """Random BEV flips: horizontal = flip y, vertical = flip x."""
+    flip_h = rng.random() < flip_ratio_bev_horizontal
+    flip_v = rng.random() < flip_ratio_bev_vertical
+
+    def flip(axis):
+        if "points" in sample:
+            pts = sample["points"].copy()
+            pts[:, axis] = -pts[:, axis]
+            sample["points"] = pts
+        if sample.get("gt_bboxes_3d") is not None:
+            b = sample["gt_bboxes_3d"].copy()
+            b[:, axis] = -b[:, axis]
+            b[:, 6] = (-b[:, 6] if axis == 1 else np.pi - b[:, 6])
+            if b.shape[1] > 7:
+                b[:, 7 + axis] = -b[:, 7 + axis]
+            sample["gt_bboxes_3d"] = b
+
+    if flip_h:
+        flip(1)
+    if flip_v:
+        flip(0)
+    sample["pcd_horizontal_flip"] = flip_h
+    sample["pcd_vertical_flip"] = flip_v
+    return sample
+
+
+def point_shuffle(sample: dict, rng: np.random.Generator) -> dict:
+    pts = sample["points"]
+    sample["points"] = pts[rng.permutation(len(pts))]
+    return sample
+
+
+def points_range_filter(sample: dict, pc_range) -> dict:
+    pts = sample["points"]
+    m = (
+        (pts[:, 0] > pc_range[0]) & (pts[:, 0] < pc_range[3])
+        & (pts[:, 1] > pc_range[1]) & (pts[:, 1] < pc_range[4])
+        & (pts[:, 2] > pc_range[2]) & (pts[:, 2] < pc_range[5])
+    )
+    sample["points"] = pts[m]
+    return sample
+
+
+def object_range_filter(sample: dict, pc_range) -> dict:
+    b = sample.get("gt_bboxes_3d")
+    if b is None:
+        return sample
+    m = (
+        (b[:, 0] > pc_range[0]) & (b[:, 0] < pc_range[3])
+        & (b[:, 1] > pc_range[1]) & (b[:, 1] < pc_range[4])
+    )
+    sample["gt_bboxes_3d"] = b[m]
+    if sample.get("gt_labels_3d") is not None:
+        sample["gt_labels_3d"] = sample["gt_labels_3d"][m]
+    return sample
+
+
+def object_name_filter(sample: dict, keep_labels) -> dict:
+    lab = sample.get("gt_labels_3d")
+    if lab is None:
+        return sample
+    m = np.isin(lab, list(keep_labels))
+    sample["gt_labels_3d"] = lab[m]
+    sample["gt_bboxes_3d"] = sample["gt_bboxes_3d"][m]
+    return sample

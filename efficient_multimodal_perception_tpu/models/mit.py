@@ -218,9 +218,11 @@ class MixVisionTransformer(nn.Module):
         else:
             x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
             x = nn.relu(x)
+            # torch ConvTranspose2d(3, s=2, p=1, output_padding=1) doubles
+            # the size; flax equivalent is SAME padding
             x = nn.ConvTranspose(
-                256, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-                name="conv_transpose",
+                256, (3, 3), strides=(2, 2), padding="SAME",
+                dtype=self.dtype, name="conv_transpose",
             )(x)
             x = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
             x = nn.relu(x)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import volume_reference_points
 from ..data.batch import Batch
-from ..ops.sampling import grid_sample_2d, normalize_triplane_coords
+from ..ops.sampling import sample_triplane_grid
 from .builder import build
 from .range_family import encode_triplane
 
@@ -58,20 +58,15 @@ class TriplaneElev(nn.Module):
             crop=False,  # elev forward has no range crop (:231)
         )
 
-        B = triplane.shape[0]
-        S = triplane.shape[-2]
-        ref = jnp.broadcast_to(
-            jnp.asarray(self.ref_3d)[None], (B, *self.ref_3d.shape)
-        )
         # sampling normalizes against the *triplane* range/voxels
-        # (triplane_elev.py:288-300 uses triplane_range + voxel_size)
-        coords = normalize_triplane_coords(
-            ref, self.triplane_range, self.voxel_size, S
-        )
-        xy = grid_sample_2d(triplane[:, 0], coords[..., jnp.array([0, 1])])
-        yz = grid_sample_2d(triplane[:, 1], coords[..., jnp.array([1, 2])])
-        xz = grid_sample_2d(triplane[:, 2], coords[..., jnp.array([0, 2])])
-        voxel_feat = xy + yz + xz  # (B, X, Y, Z, C)
+        # (triplane_elev.py:288-300 uses triplane_range + voxel_size);
+        # the grid is axis-separable -> factorized readout.
+        xs = jnp.asarray(self.ref_3d[:, 0, 0, 0])
+        ys = jnp.asarray(self.ref_3d[0, :, 0, 1])
+        zs = jnp.asarray(self.ref_3d[0, 0, :, 2])
+        voxel_feat = sample_triplane_grid(
+            triplane, xs, ys, zs, self.triplane_range, self.voxel_size
+        )  # (B, X, Y, Z, C)
 
         pred = self.decoder_net(voxel_feat, train=not deterministic)
 

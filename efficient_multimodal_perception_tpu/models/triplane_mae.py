@@ -129,6 +129,48 @@ class TriplaneMAE(nn.Module):
 
         return losses
 
+    def reconstructions(self, batch: Batch):
+        """Decoded reconstructions for visualization
+        (``test_pretrain``, ``triplane.py:129-302``).
+
+        Returns a dict with (when decoders exist) ``cam_recon
+        (B*N, H, W, 3)`` and ``range_recon (B, 32, 1024, 1)`` images plus
+        the triplane; call via ``apply(..., method='reconstructions')``.
+        """
+        triplane, aux = self.encode_triplane(batch, deterministic=True)
+        B = triplane.shape[0]
+        RH, RW = aux["range_image"].shape[1:3]
+        range_proj = sample_triplane(
+            triplane, aux["range_points"], self.pc_range, self.voxel_size
+        )
+        out = {"triplane": triplane}
+        if self.camera_decoder is not None:
+            N, H, W = batch.img.shape[1:4]
+            rc = aux["rc_coors"].reshape(B, N, -1, 2)
+            valid = rc[..., 0] > 0
+            rows = jnp.floor(rc[..., 0]).astype(jnp.int32)
+            cols = jnp.floor(rc[..., 1]).astype(jnp.int32)
+            C = range_proj.shape[-1]
+            feats = jnp.broadcast_to(
+                range_proj.reshape(B, 1, -1, C), (B, N, RH * RW, C)
+            )
+            canvas = jnp.zeros((B * N, H, W, C), range_proj.dtype)
+            scat = jax.vmap(scatter_set_2d)(
+                canvas,
+                rows.reshape(B * N, -1),
+                cols.reshape(B * N, -1),
+                valid.reshape(B * N, -1),
+                feats.reshape(B * N, -1, C),
+            )
+            pred = self.camera_dec(scat)
+            out["cam_recon"] = self.camera_dec.unpatchify(pred)
+        if self.lidar_decoder is not None:
+            point_mask = aux["range_active"] & (aux["range_image"] > 0)
+            masked = range_proj * point_mask.astype(range_proj.dtype)
+            pred = self.lidar_dec(masked)
+            out["range_recon"] = self.lidar_dec.unpatchify(pred)
+        return out
+
     # ------------------------------------------------------------------
     def _camera_loss(self, batch: Batch, aux, range_proj):
         """Scatter triplane feats to pixels + decode + MSE

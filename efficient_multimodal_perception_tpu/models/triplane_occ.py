@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import occupancy_roi
 from ..data.batch import Batch
-from ..ops.sampling import grid_sample_2d, normalize_triplane_coords
+from ..ops.sampling import sample_triplane_grid
 from .builder import build
 from .range_family import encode_triplane
 
@@ -73,21 +73,33 @@ class TriplaneOcc(nn.Module):
             losses["loss"] = self.decoder_net.loss(logits, occ)
         return logits, occ, losses
 
+    def triplane(self, batch: Batch, deterministic: bool = True):
+        """Expose the encoded triplane (for PCA viz,
+        ``triplane_occ.py:418-465``); call via ``apply(..., method=
+        'triplane')``."""
+        tri, _ = encode_triplane(
+            self.encoder_net,
+            self.neck_net,
+            batch,
+            self.triplane_range,
+            self.embed_dim,
+            deterministic,
+            None,
+        )
+        return tri
+
     def sample_voxel_centers(self, triplane):
         """Triplane -> (B, X, Y, Z, C) voxel features
         (``triplane_occ.py:321-348``).
 
-        The reference reshapes centers to (b, h, w*d) before grid_sample;
-        sampling is pointwise so the reshape is a no-op here.
+        The voxel-center grid is axis-separable, so the factorized
+        readout (``ops/sampling.py:sample_triplane_grid``) computes the
+        identical result with X*Y + Y*Z + X*Z gathers instead of 3*X*Y*Z.
         """
-        B = triplane.shape[0]
-        S = triplane.shape[-2]
-        ref = jnp.asarray(self.ref_3d)[None]
-        ref = jnp.broadcast_to(ref, (B, *ref.shape[1:]))
-        coords = normalize_triplane_coords(
-            ref, self.triplane_range, self.triplane_voxel_size, S
+        xs = jnp.asarray(self.ref_3d[:, 0, 0, 0])
+        ys = jnp.asarray(self.ref_3d[0, :, 0, 1])
+        zs = jnp.asarray(self.ref_3d[0, 0, :, 2])
+        return sample_triplane_grid(
+            triplane, xs, ys, zs, self.triplane_range,
+            self.triplane_voxel_size,
         )
-        xy = grid_sample_2d(triplane[:, 0], coords[..., jnp.array([0, 1])])
-        yz = grid_sample_2d(triplane[:, 1], coords[..., jnp.array([1, 2])])
-        xz = grid_sample_2d(triplane[:, 2], coords[..., jnp.array([0, 2])])
-        return xy + yz + xz

@@ -135,6 +135,57 @@ def sample_triplane(
     return xy + yz + xz
 
 
+def sample_triplane_grid(
+    triplane: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    zs: jax.Array,
+    pc_range,
+    voxel_size,
+) -> jax.Array:
+    """Factorized triplane readout over an axis-aligned voxel grid.
+
+    For a separable grid of centers (xs x ys x zs) the three plane
+    samples depend only on coordinate *pairs*:
+
+        feat[x, y, z] = xy[x, y] + yz[y, z] + xz[x, z]
+
+    so instead of 3 * X*Y*Z bilinear gathers (the reference's
+    ``triplane_occ.py:341-343`` materializes all voxel centers), we
+    gather X*Y + Y*Z + X*Z points and broadcast-add.  Bit-identical to
+    :func:`sample_triplane` on the same grid; ~30x less gather traffic
+    for the 99x99x16 occupancy readout.
+
+    Args:
+        triplane: ``(B, 3, S, S, C)``.
+        xs / ys / zs: 1-D world coords of the grid axes.
+
+    Returns:
+        ``(B, X, Y, Z, C)``.
+    """
+    S = triplane.shape[-2]
+    X, Y, Z = xs.shape[0], ys.shape[0], zs.shape[0]
+    B = triplane.shape[0]
+
+    def norm(v, axis):
+        return (v - pc_range[axis]) / voxel_size[axis] / (S / 2.0) - 1.0
+
+    nx, ny, nz = norm(xs, 0), norm(ys, 1), norm(zs, 2)
+
+    def pair_grid(a, b):
+        # (len(a), len(b), 2) with [..., 0] = a (plane W axis), [..., 1] = b
+        return jnp.stack(
+            jnp.meshgrid(a, b, indexing="ij"), axis=-1
+        )[None].repeat(B, axis=0)
+
+    xy = grid_sample_2d(triplane[:, 0], pair_grid(nx, ny))  # (B, X, Y, C)
+    yz = grid_sample_2d(triplane[:, 1], pair_grid(ny, nz))  # (B, Y, Z, C)
+    xz = grid_sample_2d(triplane[:, 2], pair_grid(nx, nz))  # (B, X, Z, C)
+    return (
+        xy[:, :, :, None, :] + yz[:, None, :, :, :] + xz[:, :, None, :, :]
+    )
+
+
 def sample_triplane_list(
     planes,
     points: jax.Array,

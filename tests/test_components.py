@@ -1,0 +1,154 @@
+"""Component-level shape/behavior tests (tiny channels, full spatial)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficient_multimodal_perception_tpu.models.builder import build_model
+from efficient_multimodal_perception_tpu.models.convnext import (
+    MaskConvNeXt,
+    random_active_mask,
+    upsample_mask,
+)
+from efficient_multimodal_perception_tpu.models.fpn import GeneralizedLSSFPN
+from efficient_multimodal_perception_tpu.models.mit import (
+    MixVisionTransformer,
+    MixVisionTransformerHead,
+    pixel_shuffle,
+)
+
+ARCH = {"depths": (1, 1, 1, 1), "channels": (4, 8, 16, 32)}
+
+
+def test_convnext_range_shapes():
+    """Range encoder: (1,4) stem + (1,2) downsamples keep H=32
+    (mask_convnext.py:98-103)."""
+    m = MaskConvNeXt(
+        arch=ARCH, in_channels=5, stem_patch_size=(1, 4),
+        downsample_height=False, norm_out=True,
+    )
+    x = jnp.zeros((1, 32, 1024, 5))
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 32, 32, 32)
+
+
+def test_convnext_split_forward_consistent():
+    """forward1+forward2 == full forward (mask_convnextv2.py:212-261)."""
+    m = MaskConvNeXt(arch=ARCH, stem_patch_size=(2, 2), out_indices=1,
+                     norm_out=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 128, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    full = m.apply(v, x)
+    mid = m.apply(v, x, method="forward1")
+    assert mid.shape == (1, 16, 32, 8)
+    out = m.apply(v, mid, method="forward2")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
+
+
+def test_convnext_all_scale():
+    m = MaskConvNeXt(arch=ARCH, stem_patch_size=(1, 1), out_all_scale=True,
+                     in_channels=16)
+    x = jnp.zeros((1, 32, 32, 16))
+    v = m.init(jax.random.key(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 32, 32, 4), (1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 32)
+    ]
+
+
+def test_masking_zeroes_masked_regions():
+    """Masked-mode invariant: masked pixels stay identically zero at
+    every scale (the SparK sparse-conv contract, sparse_utils.py:27-33)."""
+    m = MaskConvNeXt(arch=ARCH, stem_patch_size=(2, 2), norm_out=True)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 64, 64, 3)), jnp.float32)
+    mask = random_active_mask(jax.random.key(3), 2, 4, 4, 0.5)
+    xm = x * upsample_mask(mask, (64, 64)).astype(x.dtype)
+    v = m.init(jax.random.key(0), xm, active_mask=mask)
+    y = m.apply(v, xm, active_mask=mask)  # (2, 4, 4, 32) - mask res
+    inactive = ~np.asarray(mask)[..., 0]
+    assert np.abs(np.asarray(y)[inactive]).max() == 0.0
+    # ratio=0 mask == dense
+    ones = jnp.ones((2, 4, 4, 1), bool)
+    y_masked = m.apply(v, x, active_mask=ones)
+    y_dense = m.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(y_masked), np.asarray(y_dense), atol=1e-6
+    )
+
+
+def test_random_active_mask_keep_count():
+    mask = random_active_mask(jax.random.key(0), 4, 8, 8, 0.75)
+    counts = np.asarray(mask).reshape(4, -1).sum(1)
+    assert (counts == 16).all()  # keep 25% of 64
+
+
+def test_pixel_shuffle_matches_torch_order():
+    import torch
+
+    x = np.random.default_rng(0).standard_normal((1, 3, 5, 16)).astype(
+        np.float32
+    )
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    ref = (
+        torch.pixel_shuffle(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), 2
+        ).numpy().transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_mit_neck_shapes():
+    m = MixVisionTransformer(img_size=(128, 32), in_chans=16, embed_dim=16)
+    x = jnp.zeros((1, 128, 32, 16))
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 128, 128, 96)
+
+
+def test_mit_high_neck_shapes():
+    m = MixVisionTransformer(img_size=(128, 32), in_chans=16, embed_dim=16,
+                             high=True)
+    x = jnp.zeros((1, 128, 32, 16))
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 256, 256, 96)
+
+
+def test_mit_head_patch_roundtrip():
+    head = MixVisionTransformerHead(
+        patch_size=(1, 7), stride=(1, 4), in_chans=8, embed_dim=16,
+        actual_patch_size=(1, 4), img_in_chans=1,
+    )
+    img = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32, 1024, 1)),
+        jnp.float32,
+    )
+    x = jnp.zeros((1, 32, 1024, 8))
+    v = head.init(jax.random.key(0), x)
+    pred = head.apply(v, x)
+    assert pred.shape == (1, 32, 256, 4)
+    # patchify/unpatchify roundtrip
+    p = head.patchify(img)
+    np.testing.assert_allclose(
+        np.asarray(head.unpatchify(p)), np.asarray(img), atol=0
+    )
+    # loss with ones mask == plain patch MSE
+    loss = head.apply(
+        v, img, pred, jnp.ones_like(img), method="forward_loss"
+    )
+    ref = float(jnp.mean((p - pred) ** 2))
+    assert abs(float(loss) - ref) < 1e-6
+
+
+def test_fpn_returns_finest():
+    fpn = GeneralizedLSSFPN(in_channels=(4, 8, 16, 32), out_channels=6)
+    ins = [
+        jnp.zeros((1, 32, 32, 4)), jnp.zeros((1, 16, 16, 8)),
+        jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 4, 4, 32)),
+    ]
+    v = fpn.init(jax.random.key(0), ins, train=False)
+    y = fpn.apply(v, ins, train=False)
+    assert y.shape == (1, 32, 32, 6)

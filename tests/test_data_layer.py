@@ -1,0 +1,134 @@
+"""Data-layer tests: transforms, wrappers, detection formatting, prep."""
+
+import numpy as np
+
+from efficient_multimodal_perception_tpu.data.detection_eval import (
+    boxes_to_global,
+)
+from efficient_multimodal_perception_tpu.data.nuscenes import (
+    quaternion_matrix,
+)
+from efficient_multimodal_perception_tpu.data.prep import make_elevation
+from efficient_multimodal_perception_tpu.data.transforms import (
+    global_rot_scale_trans,
+    point_shuffle,
+    points_range_filter,
+    random_flip_3d,
+)
+from efficient_multimodal_perception_tpu.data.wrappers import (
+    CBGSDataset,
+    ConcatDataset,
+    RepeatDataset,
+)
+
+
+def test_quaternion_matrix_identity_and_yaw():
+    np.testing.assert_allclose(quaternion_matrix([1, 0, 0, 0]), np.eye(3))
+    yaw = 0.7
+    q = [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]
+    R = quaternion_matrix(q)
+    c, s = np.cos(yaw), np.sin(yaw)
+    np.testing.assert_allclose(
+        R, [[c, -s, 0], [s, c, 0], [0, 0, 1]], atol=1e-6
+    )
+
+
+def test_global_rot_scale_trans_consistency():
+    """Points and box centers must transform identically."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-10, 10, (50, 5)).astype(np.float32)
+    boxes = np.concatenate(
+        [pts[:3, :3], np.ones((3, 3)), np.zeros((3, 1))], axis=1
+    ).astype(np.float32)
+    s = dict(points=pts.copy(), gt_bboxes_3d=boxes.copy())
+    s = global_rot_scale_trans(s, np.random.default_rng(1))
+    np.testing.assert_allclose(
+        s["points"][:3, :3], s["gt_bboxes_3d"][:3, :3], atol=1e-5
+    )
+
+
+def test_random_flip_3d_horizontal():
+    pts = np.array([[1.0, 2.0, 3.0]], np.float32)
+    s = dict(points=pts.copy(), gt_bboxes_3d=None)
+    s = random_flip_3d(s, np.random.default_rng(0),
+                       flip_ratio_bev_horizontal=1.0)
+    np.testing.assert_allclose(s["points"], [[1, -2, 3]])
+    assert s["pcd_horizontal_flip"]
+
+
+def test_point_shuffle_and_range_filter():
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    s = point_shuffle(dict(points=pts.copy()), np.random.default_rng(0))
+    assert sorted(s["points"][:, 0].tolist()) == pts[:, 0].tolist()
+    s = points_range_filter(
+        dict(points=pts.copy()), [-1, -1, -1, 10, 11, 12]
+    )
+    assert len(s["points"]) < 10
+
+
+class _FakeDS:
+    num_classes = 3
+
+    def __len__(self):
+        return 6
+
+    def sample(self, i):
+        return {"i": i}
+
+    def batch(self, idx):
+        return [self.sample(i) for i in idx]
+
+    def get_cat_ids(self, i):
+        return {i % 3} if i < 3 else {0}
+
+
+def test_wrappers():
+    ds = _FakeDS()
+    r = RepeatDataset(ds, 3)
+    assert len(r) == 18 and r.sample(7)["i"] == 1
+    c = ConcatDataset([ds, ds])
+    assert len(c) == 12 and c.sample(8)["i"] == 2
+    cb = CBGSDataset(ds)
+    # class-balanced indices over-sample rare classes 1 and 2
+    assert len(cb) > 0
+    assert all(0 <= i < 6 for i in cb.sample_indices)
+
+
+def test_boxes_to_global_identity_calibration():
+    info = dict(
+        token="t",
+        lidar2ego_rotation=[1, 0, 0, 0],
+        lidar2ego_translation=[0, 0, 0],
+        ego2global_rotation=[1, 0, 0, 0],
+        ego2global_translation=[100, 50, 0],
+    )
+    boxes = np.array([[1.0, 2, 0, 4, 2, 2, 0.0, 1.0, 0.0]])
+    out = boxes_to_global(boxes, [0.9], [0], info, ["car"])
+    assert out[0]["sample_token"] == "t"
+    np.testing.assert_allclose(out[0]["translation"], [101, 52, 1])
+    assert out[0]["size"] == [2.0, 4.0, 2.0]  # (w, l, h)
+    assert out[0]["detection_name"] == "car"
+
+
+def test_make_elevation_max_height():
+    pts = np.array(
+        [[1.0, 1.0, 0.5], [1.1, 1.05, 2.0], [-30, 0, 1.0]], np.float32
+    )
+    d = make_elevation(pts, remove_self_radius=0.0)
+    ix, iy = int((1.0 + 20) / 0.4), int((1.0 + 20) / 0.4)
+    assert d["mask"][ix, iy] == 1
+    assert d["elevation"][ix, iy] == 2.0  # max-z wins
+    assert d["mask"].sum() == 1  # out-of-range point dropped
+
+
+def test_corners_used_by_obj_dump(tmp_path):
+    from efficient_multimodal_perception_tpu.core.boxes import corners_3d
+    from efficient_multimodal_perception_tpu.utils.visualization import (
+        save_boxes_obj,
+        save_points_obj,
+    )
+
+    boxes = np.array([[0.0, 0, 0, 4, 2, 2, 0.3]])
+    save_boxes_obj(corners_3d(boxes), str(tmp_path / "b.obj"))
+    save_points_obj(np.zeros((5, 3)), str(tmp_path / "p.obj"))
+    assert (tmp_path / "b.obj").exists() and (tmp_path / "p.obj").exists()

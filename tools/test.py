@@ -109,6 +109,15 @@ def main():
             v, b, deterministic=True, rngs={"sample": jax.random.key(1)}
         )
     )
+    tri_fn = jax.jit(
+        lambda v, b: model.apply(v, b, method="triplane")
+    )
+    rec_fn = jax.jit(
+        lambda v, b: model.apply(
+            v, b, method="reconstructions",
+            rngs={"sample": jax.random.key(1)},
+        )
+    )
 
     num_classes = cfg["model"]["decoder"]["num_classes"] if is_occ else 0
     class_names = cfg["model"].get("class_names") or ()
@@ -123,12 +132,22 @@ def main():
             )
             all_ce.append(float(losses["loss"]))
             if args.show_dir and i < 100:
-                os.makedirs(args.show_dir, exist_ok=True)
-                np.savez(
-                    os.path.join(args.show_dir, str(i)),
-                    pred_occ=np.asarray(pred[0]),
-                    gt_occ=np.asarray(occ[0]),
+                from efficient_multimodal_perception_tpu.utils import (
+                    visualization as viz,
                 )
+
+                viz.save_occupancy_npz(
+                    np.asarray(pred[0]), np.asarray(occ[0]),
+                    np.asarray(b.range_points[0])
+                    if b.range_points is not None
+                    else np.zeros((0, 3)),
+                    args.show_dir, i,
+                )
+                if cfg["model"]["type"] == "TriplaneOcc":
+                    tri = tri_fn(variables, b)
+                    viz.save_triplane_pca(
+                        np.asarray(tri[0]), args.show_dir, i
+                    )
         elif is_elev:
             pred, losses = out
             all_mse.append(float(losses["loss"]))
@@ -137,6 +156,40 @@ def main():
             all_ce.append(
                 float(sum(v for k, v in losses.items() if "loss" in k))
             )
+            if (
+                args.show_dir
+                and i < 20
+                and cfg["model"]["type"] == "TriplaneMAE"
+            ):
+                from efficient_multimodal_perception_tpu.utils import (
+                    visualization as viz,
+                )
+
+                rec = rec_fn(variables, b)
+                if "cam_recon" in rec:
+                    N = b.img.shape[1]
+                    viz.save_image_grid(
+                        np.asarray(b.img[0]),
+                        np.asarray(rec["cam_recon"][:N]),
+                        np.ones((*b.img.shape[2:4], 1))[None].repeat(N, 0),
+                        args.show_dir, i,
+                    )
+                if "range_recon" in rec:
+                    viz.save_range_grid(
+                        np.asarray(b.range_image[0]),
+                        np.asarray(rec["range_recon"][0]),
+                        np.ones_like(np.asarray(b.range_image[0])),
+                        args.show_dir, i,
+                    )
+                    viz.save_reprojected_points(
+                        np.asarray(b.range_points[0]),
+                        np.asarray(rec["range_recon"][0]),
+                        np.ones_like(np.asarray(b.range_image[0])),
+                        args.show_dir, i,
+                    )
+                viz.save_triplane_pca(
+                    np.asarray(rec["triplane"][0]), args.show_dir, i
+                )
 
     if is_occ:
         scores = np.concatenate(all_scores, axis=0)

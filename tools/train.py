@@ -34,6 +34,14 @@ def parse_args():
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler trace of steps 5-10 into work_dir",
+    )
+    p.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax nan-checking (SURVEY.md §5 sanitizer note)",
+    )
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -47,6 +55,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from efficient_multimodal_perception_tpu.configs import (
         apply_overrides,
@@ -151,6 +162,11 @@ def main():
             state = ckpt.restore_checkpoint(args.resume_from, state)
             print(f"resumed from {args.resume_from} @ step {int(state.step)}")
 
+        from efficient_multimodal_perception_tpu.utils.logging import (
+            MetricLogger,
+        )
+
+        logger = MetricLogger(args.work_dir)
         step_fn = make_train_step(model, optimizer, rng_names)
         rng = jax.random.key(args.seed)
 
@@ -167,10 +183,21 @@ def main():
             )
             for b in it:
                 b = shard_batch(jax.tree.map(jnp.asarray, b), mesh)
+                if args.profile and step == 5:
+                    jax.profiler.start_trace(
+                        os.path.join(args.work_dir, "profile")
+                    )
                 state, logs = step_fn(state, b, rng)
                 step += 1
+                if args.profile and step == 10:
+                    jax.profiler.stop_trace()
+                    print(
+                        f"profile trace -> {args.work_dir}/profile",
+                        flush=True,
+                    )
                 if step % log_every == 0 or step == 1:
                     logs = {k: float(v) for k, v in logs.items()}
+                    logger.log(step, logs)
                     dt = time.time() - t0
                     print(
                         f"step {step}/{total_steps} "
