@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import volume_reference_points
 from ..data.batch import Batch
-from ..ops.sampling import sample_triplane_grid
+from ..ops.sampling import sample_triplane_grid_mm
 from .builder import build
 from .range_family import encode_triplane
 
@@ -60,12 +60,14 @@ class TriplaneElev(nn.Module):
 
         # sampling normalizes against the *triplane* range/voxels
         # (triplane_elev.py:288-300 uses triplane_range + voxel_size);
-        # the grid is axis-separable -> factorized readout.
-        xs = jnp.asarray(self.ref_3d[:, 0, 0, 0])
-        ys = jnp.asarray(self.ref_3d[0, :, 0, 1])
-        zs = jnp.asarray(self.ref_3d[0, 0, :, 2])
-        voxel_feat = sample_triplane_grid(
-            triplane, xs, ys, zs, self.triplane_range, self.voxel_size
+        # the grid is axis-separable -> factorized matmul readout.
+        voxel_feat = sample_triplane_grid_mm(
+            triplane,
+            self.ref_3d[:, 0, 0, 0],
+            self.ref_3d[0, :, 0, 1],
+            self.ref_3d[0, 0, :, 2],
+            self.triplane_range,
+            self.voxel_size,
         )  # (B, X, Y, Z, C)
 
         pred = self.decoder_net(voxel_feat, train=not deterministic)

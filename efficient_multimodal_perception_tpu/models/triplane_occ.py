@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import occupancy_roi
 from ..data.batch import Batch
-from ..ops.sampling import sample_triplane_grid
+from ..ops.sampling import sample_triplane_grid_mm
 from .builder import build
 from .range_family import encode_triplane
 
@@ -93,13 +93,15 @@ class TriplaneOcc(nn.Module):
         (``triplane_occ.py:321-348``).
 
         The voxel-center grid is axis-separable, so the factorized
-        readout (``ops/sampling.py:sample_triplane_grid``) computes the
-        identical result with X*Y + Y*Z + X*Z gathers instead of 3*X*Y*Z.
+        matmul readout (``ops/sampling.py:sample_triplane_grid_mm``)
+        computes the identical result as two tiny MXU matmuls per plane
+        instead of 3*X*Y*Z TPU gathers.
         """
-        xs = jnp.asarray(self.ref_3d[:, 0, 0, 0])
-        ys = jnp.asarray(self.ref_3d[0, :, 0, 1])
-        zs = jnp.asarray(self.ref_3d[0, 0, :, 2])
-        return sample_triplane_grid(
-            triplane, xs, ys, zs, self.triplane_range,
+        return sample_triplane_grid_mm(
+            triplane,
+            self.ref_3d[:, 0, 0, 0],
+            self.ref_3d[0, :, 0, 1],
+            self.ref_3d[0, 0, :, 2],
+            self.triplane_range,
             self.triplane_voxel_size,
         )

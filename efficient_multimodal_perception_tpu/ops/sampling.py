@@ -186,6 +186,78 @@ def sample_triplane_grid(
     )
 
 
+def interp_matrix_1d(
+    coords: jax.Array | "np.ndarray", size: int
+):
+    """1-D bilinear interpolation matrix for fixed sample positions.
+
+    Row i holds the two corner weights of normalized coordinate
+    ``coords[i]`` against a ``size``-pixel axis, with the exact
+    ``align_corners=False`` + zero-padding semantics of
+    :func:`grid_sample_2d` (out-of-range corners get weight 0).
+
+    Returns a ``(n, size)`` float32 matrix W so that for 1-D data f,
+    ``W @ f`` equals grid-sampling f at ``coords``.
+    """
+    import numpy as np
+
+    c = np.asarray(coords, np.float64)
+    ix = ((c + 1.0) * size - 1.0) * 0.5
+    i0 = np.floor(ix)
+    w1 = ix - i0
+    W = np.zeros((len(c), size), np.float32)
+    for corner, w in ((i0, 1.0 - w1), (i0 + 1.0, w1)):
+        inb = (corner >= 0) & (corner <= size - 1)
+        idx = np.clip(corner, 0, size - 1).astype(int)
+        np.add.at(W, (np.arange(len(c)), idx), w * inb)
+    return W
+
+
+def sample_triplane_grid_mm(
+    triplane: jax.Array,
+    xs,
+    ys,
+    zs,
+    pc_range,
+    voxel_size,
+) -> jax.Array:
+    """MXU-friendly factorized voxel-grid readout.
+
+    Identical math to :func:`sample_triplane_grid`, but each plane's
+    bilinear sample over the separable grid is two small dense matmuls
+    with precomputed interpolation matrices instead of gathers — TPU
+    gathers lower poorly (measured ~30 ms for the 99x99x16 readout vs
+    <1 ms as matmuls).  ``xs/ys/zs`` must be trace-time constants
+    (numpy), which they are for the occupancy/elevation center grids.
+
+    Returns ``(B, X, Y, Z, C)``.
+    """
+    import numpy as np
+
+    S = triplane.shape[-2]
+
+    def norm(v, axis):
+        v = np.asarray(v, np.float64)
+        return (v - pc_range[axis]) / voxel_size[axis] / (S / 2.0) - 1.0
+
+    Wx = jnp.asarray(interp_matrix_1d(norm(xs, 0), S))
+    Wy = jnp.asarray(interp_matrix_1d(norm(ys, 1), S))
+    Wz = jnp.asarray(interp_matrix_1d(norm(zs, 2), S))
+
+    f32 = jnp.float32
+    hp = "highest"
+    p0 = triplane[:, 0].astype(f32)  # (B, H, W, C); H=y idx, W=x idx
+    p1 = triplane[:, 1].astype(f32)
+    p2 = triplane[:, 2].astype(f32)
+    xy = jnp.einsum("xw,yh,bhwc->bxyc", Wx, Wy, p0, precision=hp)
+    yz = jnp.einsum("yw,zh,bhwc->byzc", Wy, Wz, p1, precision=hp)
+    xz = jnp.einsum("xw,zh,bhwc->bxzc", Wx, Wz, p2, precision=hp)
+    out = (
+        xy[:, :, :, None, :] + yz[:, None, :, :, :] + xz[:, :, None, :, :]
+    )
+    return out.astype(triplane.dtype)
+
+
 def sample_triplane_list(
     planes,
     points: jax.Array,

@@ -89,6 +89,8 @@ def main():
     with open(os.path.join(args.work_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2, default=str)
 
+    if cfg.get("compute_dtype") == "bfloat16":
+        cfg["model"]["dtype"] = jnp.bfloat16
     model = build_model(cfg["model"])
     rng_names = _rng_names(cfg)
     mesh = make_mesh()
