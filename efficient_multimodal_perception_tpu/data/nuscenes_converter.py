@@ -228,3 +228,58 @@ def create_nuscenes_infos(
         with open(path, "wb") as f:
             pickle.dump(dict(infos=infos, metadata=meta), f)
         print(f"wrote {len(infos)} infos -> {path}")
+    return train_infos, val_infos
+
+
+def create_nuscenes_occ_infos(
+    root_path: str,
+    occ_path: str,
+    out_dir: str | None = None,
+    info_prefix: str = "nuscenes",
+    version: str = "v1.0-trainval",
+    max_sweeps: int = 10,
+):
+    """Occ3D-annotated temporal infos.
+
+    Port of ``data_converter/nuscenes_occ_converter.py:31-121``: the
+    standard infos plus, per sample, the Occ3D ``annotations.json``
+    ground-truth path (``occ_gt_path``) and prev/next temporal links,
+    written as ``{prefix}_infos_temporal_{train,val}.pkl``.
+    """
+    import json
+
+    from nuscenes.nuscenes import NuScenes
+
+    out_dir = out_dir or root_path
+    with open(os.path.join(occ_path, "annotations.json")) as f:
+        occ_anno = json.load(f)
+    scene_infos = occ_anno.get("scene_infos", occ_anno)
+
+    nusc = NuScenes(version=version, dataroot=root_path, verbose=True)
+    token2name = {s["token"]: s["name"] for s in nusc.scene}
+    prev_next = {
+        s["token"]: (s["prev"], s["next"]) for s in nusc.sample
+    }
+
+    train_infos, val_infos = create_nuscenes_infos(
+        root_path, out_dir, version, max_sweeps
+    )
+    for infos in (train_infos, val_infos):
+        for info in infos:
+            token = info["token"]
+            sample = nusc.get("sample", token)
+            scene_name = token2name[sample["scene_token"]]
+            anno = scene_infos.get(scene_name, {}).get(token, {})
+            if "gt_path" in anno:
+                info["occ_gt_path"] = anno["gt_path"]
+            info["prev"], info["next"] = prev_next[token]
+            info["scene_token"] = sample["scene_token"]
+
+    meta = dict(version=version)
+    for name, infos in [("train", train_infos), ("val", val_infos)]:
+        path = os.path.join(
+            out_dir, f"{info_prefix}_infos_temporal_{name}.pkl"
+        )
+        with open(path, "wb") as f:
+            pickle.dump(dict(infos=infos, metadata=meta), f)
+        print(f"wrote {len(infos)} temporal infos -> {path}")
