@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..data.batch import Batch
 from .range_family import encode_triplane
 from ..losses.sup_con import sup_con_loss
+from ..ops.pallas_kernels import sample_triplane_auto
 from ..ops.sampling import sample_triplane
 from ..ops.scatter import scatter_set_2d
 from .builder import build
@@ -94,7 +95,7 @@ class TriplaneMAE(nn.Module):
         losses = {}
 
         # per-range-pixel triplane features (:376)
-        range_proj = sample_triplane(
+        range_proj = sample_triplane_auto(
             triplane, aux["range_points"], self.pc_range, self.voxel_size
         )  # (B, RH, RW, C)
 
@@ -228,7 +229,7 @@ class TriplaneMAE(nn.Module):
             & jnp.all(pts < jnp.asarray(self.pc_range[3:]), -1)
             & batch.points_valid
         )
-        feats = sample_triplane(
+        feats = sample_triplane_auto(
             triplane, pts, self.pc_range, self.voxel_size
         )  # (B, P, C)
 

@@ -1,0 +1,259 @@
+"""Pallas TPU kernels for the hot sampling path.
+
+``triplane_sample_pallas`` fuses the reference's per-point latent readout
+— 3 x ``F.grid_sample`` + sum (``triplane.py:490-514``) — into one kernel.
+TPU gathers lower poorly (measured ~30 ms for ~150k samples as XLA
+gathers), so the kernel reformulates bilinear interpolation per point
+block as matrix work:
+
+    for a block of P points and an (S, S, C) plane resident in VMEM:
+        Wh[p, h] = bilinear row weights   (built from iota comparisons)
+        Wl[p, w] = bilinear col weights
+        tmp[p, w, c] = sum_h Wh[p, h] * plane[h, w, c]     (MXU matmul)
+        out[p, c]    = sum_w Wl[p, w] * tmp[p, w, c]       (VPU reduce)
+
+All three planes stay in VMEM across the whole grid (3 x S*S*C values);
+out-of-range points get exact zero-padding semantics through the weight
+masks, matching ``ops/sampling.grid_sample_2d`` bit-for-bit in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 256
+
+
+def _axis_weights(coord, size, block):
+    """(BLK,) normalized coords -> (BLK, size) bilinear weight rows."""
+    ix = ((coord + 1.0) * size - 1.0) * 0.5
+    i0 = jnp.floor(ix)
+    w1 = ix - i0
+    w0 = 1.0 - w1
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, size), 1)
+    i0i = i0.astype(jnp.int32)[:, None]
+    in0 = (i0i >= 0) & (i0i <= size - 1)
+    in1 = (i0i + 1 >= 0) & (i0i + 1 <= size - 1)
+    W = jnp.where(cols == i0i, w0[:, None], 0.0) * in0
+    W = W + jnp.where(cols == i0i + 1, w1[:, None], 0.0) * in1
+    return W
+
+
+def _kernel(coords_ref, p0_ref, p1_ref, p2_ref, out_ref, *, size, block):
+    c = coords_ref[:].astype(jnp.float32)  # (BLK, 3)
+
+    def sample(plane_ref, a, b):
+        # grid x (coord a) indexes the plane's W axis, grid y (coord b)
+        # its H axis — grid_sample convention.  Planes arrive transposed
+        # as (H, C, W) so every reshape keeps a 128-lane minor dim
+        # (Mosaic rejects merges that leave a sub-lane minor).
+        Wl = _axis_weights(c[:, a], size, block)  # cols (W axis)
+        Wh = _axis_weights(c[:, b], size, block)  # rows (H axis)
+        plane = plane_ref[:]  # (S, C, S)
+        S, C, _ = plane.shape
+        tmp = jnp.dot(
+            Wh.astype(plane.dtype), plane.reshape(S, C * S),
+            preferred_element_type=jnp.float32,
+        ).reshape(block, C, S)
+        return jnp.sum(tmp * Wl[:, None, :], axis=-1)
+
+    out = (
+        sample(p0_ref, 0, 1)
+        + sample(p1_ref, 1, 2)
+        + sample(p2_ref, 0, 2)
+    )
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(coords_ref, g_ref, o0_ref, o1_ref, o2_ref, *, size, block):
+    """Accumulate dL/dplane = sum_p Wh[p,h] Wl[p,w] g[p,c] per plane.
+
+    The output blocks revisit the same (S, C, S) tile every grid step,
+    so accumulation is init-on-first-step + add.
+    """
+    i = pl.program_id(0)
+    c = coords_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)  # (BLK, C)
+    C = g.shape[-1]
+
+    def contrib(a, b):
+        Wl = _axis_weights(c[:, a], size, block)
+        Wh = _axis_weights(c[:, b], size, block)
+        M = (g[:, :, None] * Wl[:, None, :]).reshape(block, C * size)
+        return jnp.dot(
+            Wh.T, M, preferred_element_type=jnp.float32
+        ).reshape(size, C, size)
+
+    for out_ref, (a, b) in ((o0_ref, (0, 1)), (o1_ref, (1, 2)),
+                            (o2_ref, (0, 2))):
+        val = contrib(a, b).astype(out_ref.dtype)
+
+        @pl.when(i == 0)
+        def _(out_ref=out_ref, val=val):
+            out_ref[:] = val
+
+        @pl.when(i > 0)
+        def _(out_ref=out_ref, val=val):
+            out_ref[:] = out_ref[:] + val
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3)
+)
+def _sample_diff(triplane, coords, block, interpret):
+    return _sample_fwd_impl(triplane, coords, block, interpret)
+
+
+def _sample_fwd(triplane, coords, block, interpret):
+    out = _sample_fwd_impl(triplane, coords, block, interpret)
+    return out, (triplane, coords)
+
+
+def _sample_bwd(block, interpret, res, g):
+    triplane, coords = res
+    B, _, S, _, C = triplane.shape
+    P = coords.shape[1]
+    pad = (-P) % block
+    cpad = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)), constant_values=-3.0)
+    gpad = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    n_blocks = (P + pad) // block
+
+    kernel = functools.partial(_bwd_kernel, size=S, block=block)
+
+    def one_batch(coords_b, g_b):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block, 3), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (block, C), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (S, C, S), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((S, C, S), jnp.float32)
+            ]
+            * 3,
+            interpret=interpret,
+        )(coords_b, g_b)
+
+    grads = jax.vmap(one_batch)(cpad, gpad)
+    # (B, S, C, S)[h, c, w] x3 -> (B, 3, S, S, C)
+    tri_grad = jnp.stack(
+        [jnp.transpose(gr, (0, 1, 3, 2)) for gr in grads], axis=1
+    )
+    return tri_grad.astype(triplane.dtype), jnp.zeros_like(coords)
+
+
+_sample_diff.defvjp(_sample_fwd, _sample_bwd)
+
+
+def triplane_sample_pallas(
+    triplane: jax.Array,
+    coords: jax.Array,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused sampler (custom VJP; zero grad to coords —
+    sample positions are data in every reference loss)."""
+    return _sample_diff(triplane, coords, block, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _sample_fwd_impl(
+    triplane: jax.Array,
+    coords: jax.Array,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused 3-plane bilinear sample at arbitrary points.
+
+    Args:
+        triplane: ``(B, 3, S, S, C)``.
+        coords: ``(B, P, 3)`` normalized per-axis coords in [-1, 1]
+            (see ``ops/sampling.normalize_triplane_coords``).
+        block: points per grid step (padded up internally).
+        interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns:
+        ``(B, P, C)`` sampled features (triplane dtype).
+    """
+    B, _, S, _, C = triplane.shape
+    P = coords.shape[1]
+    pad = (-P) % block
+    cpad = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)), constant_values=-3.0)
+    n_blocks = (P + pad) // block
+
+    # (B, 3, H, W, C) -> (B, 3, H, C, W): lane-aligned kernel layout
+    tri_t = jnp.transpose(triplane, (0, 1, 2, 4, 3))
+
+    kernel = functools.partial(_kernel, size=S, block=block)
+
+    def one_batch(tri_b, coords_b):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block, 3), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            + [
+                pl.BlockSpec(
+                    (S, C, S), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 3,
+            out_specs=pl.BlockSpec(
+                (block, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (P + pad, C), triplane.dtype
+            ),
+            interpret=interpret,
+        )(coords_b, tri_b[0], tri_b[1], tri_b[2])
+
+    out = jax.vmap(one_batch)(tri_t, cpad)
+    return out[:, :P]
+
+
+def sample_triplane_auto(triplane, points, pc_range, voxel_size):
+    """Per-point triplane sampling with automatic kernel dispatch.
+
+    bf16 on TPU -> the fused Pallas kernel (measured ~1.8x over the XLA
+    gather at 32k points); anything else -> the gather formulation
+    (faster in f32, and the only option on CPU).
+    """
+    from .sampling import normalize_triplane_coords, sample_triplane
+
+    use_pallas = (
+        triplane.dtype == jnp.bfloat16
+        and jax.default_backend() != "cpu"
+    )
+    if not use_pallas:
+        return sample_triplane(triplane, points, pc_range, voxel_size)
+    S = triplane.shape[-2]
+    coords = normalize_triplane_coords(points, pc_range, voxel_size, S)
+    shape = points.shape[:-1]
+    B = shape[0]
+    flat = coords.reshape(B, -1, 3)
+    out = triplane_sample_pallas(triplane, flat)
+    return out.reshape(*shape, triplane.shape[-1])

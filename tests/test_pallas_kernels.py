@@ -1,0 +1,87 @@
+"""Pallas fused triplane sampler vs the XLA reference (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+    triplane_sample_pallas,
+)
+from efficient_multimodal_perception_tpu.ops.sampling import (
+    normalize_triplane_coords,
+    sample_triplane,
+)
+
+
+def test_pallas_sampler_matches_reference():
+    rng = np.random.default_rng(0)
+    B, S, C, P = 2, 16, 8, 100
+    pc_range = [-25, -25, -5, 25, 25, 3]
+    voxel = (50 / S, 50 / S, 8 / S)
+    tri = jnp.asarray(
+        rng.standard_normal((B, 3, S, S, C)).astype(np.float32)
+    )
+    pts = rng.uniform(-26, 26, (B, P, 3)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-5.5, 3.5, (B, P))
+
+    ref = np.asarray(sample_triplane(tri, jnp.asarray(pts), pc_range, voxel))
+    coords = normalize_triplane_coords(
+        jnp.asarray(pts), pc_range, voxel, S
+    )
+    out = np.asarray(
+        triplane_sample_pallas(tri, coords, block=32, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_sampler_gradients_match():
+    """Custom VJP vs autodiff through the XLA gather sampler."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    B, S, C, P = 1, 8, 4, 50
+    pc_range = [0, 0, 0, 8, 8, 8]
+    voxel = (1.0, 1.0, 1.0)
+    tri = jnp.asarray(
+        rng.standard_normal((B, 3, S, S, C)).astype(np.float32)
+    )
+    pts = jnp.asarray(rng.uniform(0.5, 7.5, (B, P, 3)).astype(np.float32))
+    coords = normalize_triplane_coords(pts, pc_range, voxel, S)
+
+    def loss_ref(t):
+        out = sample_triplane(t, pts, pc_range, voxel)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_pallas(t):
+        out = triplane_sample_pallas(t, coords, block=32, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = np.asarray(jax.grad(loss_ref)(tri))
+    g_pal = np.asarray(jax.grad(loss_pallas)(tri))
+    np.testing.assert_allclose(g_pal, g_ref, atol=1e-4)
+
+
+def test_pallas_sampler_padding_blocks():
+    """P not a multiple of block; padded points must not corrupt output."""
+    rng = np.random.default_rng(1)
+    B, S, C, P = 1, 8, 4, 45
+    tri = jnp.asarray(
+        rng.standard_normal((B, 3, S, S, C)).astype(np.float32)
+    )
+    coords = jnp.asarray(
+        rng.uniform(-0.9, 0.9, (B, P, 3)).astype(np.float32)
+    )
+    out = np.asarray(
+        triplane_sample_pallas(tri, coords, block=32, interpret=True)
+    )
+    assert out.shape == (B, P, C)
+    # compare vs reference math through grid_sample path
+    from efficient_multimodal_perception_tpu.ops.sampling import (
+        grid_sample_2d,
+    )
+
+    ref = (
+        np.asarray(grid_sample_2d(tri[:, 0], coords[..., jnp.array([0, 1])]))
+        + np.asarray(grid_sample_2d(tri[:, 1], coords[..., jnp.array([1, 2])]))
+        + np.asarray(grid_sample_2d(tri[:, 2], coords[..., jnp.array([0, 2])]))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
