@@ -34,6 +34,7 @@ def get_config():
             triplane_range=(-25, -25, -5, 25, 25, 3),
             triplane_voxel_size=(0.4, 0.4, 0.1),
             class_names=CLASS_NAMES,
+            freeze_encoder=True,  # triplane_occ.py:89
         ),
         model_init=dict(
             ckpt_path=None,  # set to the pretrain checkpoint

@@ -83,6 +83,12 @@ class ConvNeXtBlock(nn.Module):
 
     Mirrors ``SparseConvNeXtBlock`` (``sparse_utils.py:132-233``); the
     optional ``mask`` multiply after each conv reproduces sparse mode.
+
+    Owns its parameters directly (same shapes/initializers as the flax
+    submodules they replace) so the inference-time fused Pallas kernel
+    (``ops/pallas_kernels.convnext_block_fused``) and the XLA path share
+    weights.  ``fused=True`` is only taken when it is semantically
+    identical to the XLA path (no mask, deterministic).
     """
 
     dim: int
@@ -91,28 +97,62 @@ class ConvNeXtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
-        shortcut = x
-        x = nn.Conv(
-            self.dim,
-            (7, 7),
-            padding=3,
-            feature_group_count=self.dim,
-            dtype=self.dtype,
-            name="dwconv",
-        )(x)
-        if mask is not None:
-            x = x * mask
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
-        if self.layer_scale_init > 0:
-            gamma = self.param(
+    def __call__(
+        self, x, mask=None, deterministic: bool = True, fused: bool = False
+    ):
+        C = self.dim
+        dw_k = self.param(
+            "dwconv_kernel", nn.initializers.lecun_normal(), (7, 7, 1, C)
+        )
+        dw_b = self.param("dwconv_bias", nn.initializers.zeros, (C,))
+        ln_s = self.param("norm_scale", nn.initializers.ones, (C,))
+        ln_b = self.param("norm_bias", nn.initializers.zeros, (C,))
+        w1 = self.param(
+            "pwconv1_kernel", nn.initializers.lecun_normal(), (C, 4 * C)
+        )
+        b1 = self.param("pwconv1_bias", nn.initializers.zeros, (4 * C,))
+        w2 = self.param(
+            "pwconv2_kernel", nn.initializers.lecun_normal(), (4 * C, C)
+        )
+        b2 = self.param("pwconv2_bias", nn.initializers.zeros, (C,))
+        gamma = (
+            self.param(
                 "gamma",
                 nn.initializers.constant(self.layer_scale_init),
-                (self.dim,),
+                (C,),
             )
+            if self.layer_scale_init > 0
+            else None
+        )
+
+        if fused and mask is None and deterministic:
+            from ..ops.pallas_kernels import convnext_block_fused
+
+            return convnext_block_fused(
+                x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma
+            )
+
+        shortcut = x
+        dt = self.dtype
+        x = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            dw_k.astype(dt),
+            window_strides=(1, 1),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        ) + dw_b.astype(dt)
+        if mask is not None:
+            x = x * mask
+        # LayerNorm over channels, f32 statistics (flax semantics)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        x = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b).astype(dt)
+        x = x @ w1.astype(dt) + b1.astype(dt)
+        x = nn.gelu(x, approximate=False)
+        x = x @ w2.astype(dt) + b2.astype(dt)
+        if gamma is not None:
             x = x * gamma.astype(x.dtype)
         if mask is not None:
             x = x * mask
@@ -150,6 +190,7 @@ class MaskConvNeXt(nn.Module):
     out_all_scale: bool = False
     frozen_stages: int = 0
     layer_scale_init: float = 1e-6
+    fuse_inference: bool = True  # Pallas fused blocks on TPU inference
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -208,6 +249,13 @@ class MaskConvNeXt(nn.Module):
         collect=False,
     ):
         """Run stages ``[start, end)``; mask is re-applied per resolution."""
+        fused = (
+            self.fuse_inference
+            and deterministic
+            and active_mask is None
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+        )
         outs = []
         for i in range(start, end):
             x = self.downsample_layers[i](x)
@@ -217,7 +265,7 @@ class MaskConvNeXt(nn.Module):
             else:
                 m = None
             for blk in self.stages_[i]:
-                x = blk(x, mask=m, deterministic=deterministic)
+                x = blk(x, mask=m, deterministic=deterministic, fused=fused)
             if collect:
                 outs.append(x)
         return (x, outs) if collect else x

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core.geometry import volume_reference_points
@@ -47,16 +48,19 @@ class TriplaneElev(nn.Module):
         """Returns ``(pred (B, X, Y), losses)``
         (``triplane_elev.py:211-283``)."""
         mask_rng = self.make_rng("mask") if self.has_rng("mask") else None
+        # the elev encoder is always frozen+eval in the reference
+        # (triplane_elev.py:67-83)
         triplane, _ = encode_triplane(
             self.encoder_net,
             self.neck_net,
             batch,
             self.triplane_range,
             self.embed_dim,
-            deterministic,
+            True,
             mask_rng,
             crop=False,  # elev forward has no range crop (:231)
         )
+        triplane = jax.lax.stop_gradient(triplane)
 
         # sampling normalizes against the *triplane* range/voxels
         # (triplane_elev.py:288-300 uses triplane_range + voxel_size);

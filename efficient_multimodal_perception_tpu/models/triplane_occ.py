@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core.geometry import occupancy_roi
@@ -37,6 +38,7 @@ class TriplaneOcc(nn.Module):
     triplane_voxel_size: tuple = (0.4, 0.4, 0.1)
     volume: tuple = (100, 100, 80)  # carried but unused, as in the ref
     class_names: Optional[tuple] = None
+    freeze_encoder: bool = True  # frozen encoder runs in eval mode
     embed_dim: int = 768
     dtype: Any = jnp.float32
 
@@ -52,15 +54,21 @@ class TriplaneOcc(nn.Module):
         """Returns ``(logits (B, X, Y, Z, K), occ_target (B, X, Y, Z),
         losses)`` (``triplane_occ.py:210-288``)."""
         mask_rng = self.make_rng("mask") if self.has_rng("mask") else None
+        # a frozen encoder runs in eval mode (no stochastic depth),
+        # matching the reference's .eval() on it (triplane_occ.py:83-91)
         triplane, _ = encode_triplane(
             self.encoder_net,
             self.neck_net,
             batch,
             self.triplane_range,
             self.embed_dim,
-            deterministic,
+            deterministic or self.freeze_encoder,
             mask_rng,
         )
+        if self.freeze_encoder:
+            # requires_grad=False semantics: no backward through the
+            # encoder at all (the reference pays it and discards grads)
+            triplane = jax.lax.stop_gradient(triplane)
 
         voxel_feat = self.sample_voxel_centers(triplane)
         logits = self.decoder_net(voxel_feat)

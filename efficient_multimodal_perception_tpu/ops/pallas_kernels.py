@@ -235,6 +235,189 @@ def _sample_fwd_impl(
     return out[:, :P]
 
 
+def _gelu_erf(x):
+    """Exact-erf GELU via the Abramowitz-Stegun 7.1.26 rational erf
+    approximation (abs err ~1.5e-7) — Mosaic has no erf/erfc primitive."""
+    z = x * 0.7071067811865476
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _cnx_kernel(
+    xa_ref, xb_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+    w2_ref, b2_ref, gamma_ref, out_ref, *, T, W, C,
+):
+    """Fused ConvNeXt block tile: dwconv7x7 + LN + MLP + scale + residual.
+
+    The row halo is delivered as two consecutive T-row blocks of the
+    (H/W pre-padded) input — ``xa`` at row-tile t, ``xb`` at t+1 — so
+    Pallas's standard block pipeline (with double buffering) feeds the
+    kernel; one HBM read + one write per tile, everything else in VMEM.
+    """
+    tile = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2T, W+6, C)
+
+    dwk = dwk_ref[:].reshape(49, C)
+    acc = jnp.zeros((T, W, C), jnp.float32)
+    for dy in range(7):
+        for dx in range(7):
+            acc = acc + (
+                tile[dy : dy + T, dx : dx + W].astype(jnp.float32)
+                * dwk[dy * 7 + dx].astype(jnp.float32)
+            )
+    acc = acc + dwb_ref[:].astype(jnp.float32)
+
+    # LayerNorm over channels in f32
+    mu = jnp.mean(acc, axis=-1, keepdims=True)
+    var = jnp.mean((acc - mu) ** 2, axis=-1, keepdims=True)
+    y = (acc - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = y * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+
+    # pointwise MLP on the MXU
+    dt = w1_ref.dtype
+    y2 = y.reshape(T * W, C).astype(dt)
+    h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = _gelu_erf(h).astype(dt)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o = o + b2_ref[:].astype(jnp.float32)
+    if gamma_ref is not None:
+        o = o * gamma_ref[:].astype(jnp.float32)
+
+    res = tile[3 : 3 + T, 3 : 3 + W].astype(jnp.float32)
+    out = res + o.reshape(T, W, C)
+    out_ref[:] = out[None].astype(out_ref.dtype)
+
+
+def _xla_block_math(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    """XLA reference of the fused block (same math as the kernel);
+    used as the differentiation rule for ``convnext_block_fused``."""
+    C = x.shape[-1]
+    dt = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, dw_k.astype(dt), (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    ) + dw_b.astype(dt)
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(axis=-1, keepdims=True)
+    var = ((yf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = ((yf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b).astype(dt)
+    y = y @ w1.astype(dt) + b1.astype(dt)
+    import flax.linen as nn
+
+    y = nn.gelu(y, approximate=False)
+    y = y @ w2.astype(dt) + b2.astype(dt)
+    if gamma is not None:
+        y = y * gamma.astype(dt)
+    return x + y
+
+
+@jax.custom_vjp
+def convnext_block_fused(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    """Fused ConvNeXt block (see ``_cnx_kernel``).
+
+    Forward runs the Pallas kernel; the VJP replays the (numerically
+    equivalent) XLA math, so the op is fully differentiable — frozen
+    encoders never reach the backward, unfrozen ones pay one extra
+    forward there.
+
+    Args:
+        x: ``(N, H, W, C)``.
+        dw_k: ``(7, 7, 1, C)`` depthwise kernel (HWIO).
+    """
+    return _block_fused_impl(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2,
+                             gamma)
+
+
+def _block_fused_fwd(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    args = (x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma)
+    return _block_fused_impl(*args), args
+
+
+def _block_fused_bwd(res, g):
+    _, vjp = jax.vjp(_xla_block_math, *res)
+    return vjp(g)
+
+
+convnext_block_fused.defvjp(_block_fused_fwd, _block_fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _block_fused_impl(
+    x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, interpret=False
+):
+    N, H, W, C = x.shape
+    # the two-block halo trick needs T >= 6; all stage heights are
+    # multiples of 8
+    T = 8 if H % 8 == 0 else H
+    dt = x.dtype
+
+    # pad 3 halo rows/cols; bottom-pad so padded H is (H/T + 2) * T and
+    # the t+1 row-block of the last tile stays in bounds
+    xp = jnp.pad(x, ((0, 0), (3, 2 * T - 3), (3, 3), (0, 0)))
+    has_gamma = gamma is not None
+
+    kernel = functools.partial(_cnx_kernel, T=T, W=W, C=C)
+    if not has_gamma:
+        def kernel(*refs, T=T, W=W, C=C):  # noqa: F811
+            args = refs[:10] + (None,) + refs[10:]
+            return _cnx_kernel(*args, T=T, W=W, C=C)
+
+    operands = [
+        xp,
+        xp,
+        dw_k.astype(dt),
+        dw_b.astype(jnp.float32),
+        ln_s.astype(jnp.float32),
+        ln_b.astype(jnp.float32),
+        w1.astype(dt),
+        b1.astype(jnp.float32),
+        w2.astype(dt),
+        b2.astype(jnp.float32),
+    ]
+    if has_gamma:
+        operands.append(gamma.astype(jnp.float32))
+
+    Wp = W + 6
+    vec_specs = [
+        pl.BlockSpec(
+            (1, T, Wp, C), lambda n, t: (n, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, T, Wp, C), lambda n, t: (n, t + 1, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [
+        pl.BlockSpec(
+            arg.shape,
+            lambda n, t, nd=arg.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for arg in operands[2:]
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N, H // T),
+        in_specs=vec_specs,
+        out_specs=pl.BlockSpec(
+            (1, T, W, C), lambda n, t: (n, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, C), dt),
+        interpret=interpret,
+    )(*operands)
+
+
 def sample_triplane_auto(triplane, points, pc_range, voxel_size):
     """Per-point triplane sampling with automatic kernel dispatch.
 

@@ -60,6 +60,36 @@ def test_pallas_sampler_gradients_match():
     np.testing.assert_allclose(g_pal, g_ref, atol=1e-4)
 
 
+def test_fused_convnext_block_matches_xla():
+    """Fused inference block == XLA block path (interpret mode)."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.models.convnext import (
+        ConvNeXtBlock,
+    )
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _block_fused_impl,
+    )
+
+    rng = np.random.default_rng(5)
+    N, H, W, C = 2, 16, 32, 8
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    blk = ConvNeXtBlock(C)
+    v = blk.init(jax.random.key(0), x)
+    ref = blk.apply(v, x)
+    p = v["params"]
+    out = _block_fused_impl(
+        x, p["dwconv_kernel"], p["dwconv_bias"], p["norm_scale"],
+        p["norm_bias"], p["pwconv1_kernel"], p["pwconv1_bias"],
+        p["pwconv2_kernel"], p["pwconv2_bias"], p["gamma"],
+        interpret=True,
+    )
+    # erf approximation inside the kernel: ~1e-6 relative
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-5
+    )
+
+
 def test_pallas_sampler_padding_blocks():
     """P not a multiple of block; padded points must not corrupt output."""
     rng = np.random.default_rng(1)

@@ -42,6 +42,12 @@ def parse_args():
         "--debug-nans", action="store_true",
         help="enable jax nan-checking (SURVEY.md §5 sanitizer note)",
     )
+    p.add_argument(
+        "--eval-interval", type=int, default=0,
+        help="run validation every N epochs (0 = never, the reference's "
+        "pretraining default of interval=epochs+1)",
+    )
+    p.add_argument("--eval-samples", type=int, default=64)
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -213,6 +219,48 @@ def main():
             if epoch % cfg["checkpoint"]["interval"] == 0 or step >= total_steps:
                 path = ckpt.save_checkpoint(args.work_dir, step, state)
                 print(f"saved {path}", flush=True)
+            if args.eval_interval and epoch % args.eval_interval == 0:
+                from efficient_multimodal_perception_tpu.train.evaluator import (
+                    evaluate,
+                )
+
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                if args.synthetic:
+                    val_iter = [
+                        jax.tree.map(
+                            jnp.asarray,
+                            synthetic_batch(
+                                1,
+                                point_budget=data_cfg["point_budget"],
+                                seed=10_000 + i,
+                                **needs,
+                            ),
+                        )
+                        for i in range(min(args.eval_samples, 8))
+                    ]
+                else:
+                    from efficient_multimodal_perception_tpu.train.evaluator import (
+                        make_val_batches,
+                    )
+
+                    val_ds = NuScenesDataset(data_cfg, split="val")
+                    val_iter = make_val_batches(
+                        val_ds, 1, args.eval_samples
+                    )()
+                metrics = evaluate(
+                    model,
+                    variables,
+                    val_iter,
+                    cfg["model"]["type"],
+                    num_classes=cfg["model"].get("decoder", {}).get(
+                        "num_classes", 5
+                    ),
+                    class_names=cfg["model"].get("class_names") or (),
+                )
+                logger.log(step, {f"val/{k}": v for k, v in metrics.items()})
+                print(f"[eval @ epoch {epoch}] {metrics}", flush=True)
 
     print("done")
 
