@@ -23,7 +23,7 @@ Supported arch settings mirror ``mask_convnext.py:66-71``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -28,10 +28,6 @@ from ..ops.pallas_kernels import sample_triplane_auto
 from ..ops.sampling import sample_triplane
 from ..ops.scatter import scatter_set_2d
 from .builder import build
-from .heads import PointMlpHead  # noqa: F401  (color decoder registry)
-from .interpnet import InterpNet  # noqa: F401
-from .joint_encoder import JointEncoder
-from .mit import MixVisionTransformer, MixVisionTransformerHead  # noqa: F401
 
 
 class TriplaneMAE(nn.Module):
