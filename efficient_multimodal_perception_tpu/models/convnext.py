@@ -125,7 +125,9 @@ class ConvNeXtBlock(nn.Module):
             else None
         )
 
-        if fused and mask is None and deterministic:
+        if fused and mask is None and (
+            deterministic or self.drop_path_rate == 0.0
+        ):
             from ..ops.pallas_kernels import convnext_block_fused
 
             return convnext_block_fused(
@@ -265,7 +267,19 @@ class MaskConvNeXt(nn.Module):
             else:
                 m = None
             for blk in self.stages_[i]:
-                x = blk(x, mask=m, deterministic=deterministic, fused=fused)
+                # a block with zero droppath is deterministic even in
+                # training (frozen stages), so the fused kernel (whose
+                # VJP replays the XLA math) applies there too
+                blk_fused = fused or (
+                    self.fuse_inference
+                    and active_mask is None
+                    and blk.drop_path_rate == 0.0
+                    and self.dtype == jnp.bfloat16
+                    and jax.default_backend() == "tpu"
+                )
+                x = blk(
+                    x, mask=m, deterministic=deterministic, fused=blk_fused
+                )
             if collect:
                 outs.append(x)
         return (x, outs) if collect else x

@@ -72,29 +72,52 @@ def freeze_mask(params, freeze_prefixes: Sequence[str]):
     """Label tree: True = trainable, False = frozen.
 
     Matches the reference's module-level freeze
-    (``triplane_occ.py:83-91``): a param is frozen when its top-level
-    path starts with any prefix in ``freeze_prefixes`` (e.g. "encoder",
-    "neck"), or with the per-stage prefixes "encoder/…/stage0" style
-    entries for ``frozen_stages``.
+    (``triplane_occ.py:83-91``) plus per-stage freezing
+    (``mask_convnext.py:339-350``): a param is frozen when its path
+    starts with a token (e.g. "encoder", "neck") or contains a token at
+    a component boundary (e.g. "stage0_", "downsample_layers_0" from
+    ``frozen_stages``).
     """
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(path):
         return "/".join(
             p.key if hasattr(p, "key") else str(p) for p in path
         )
 
-    frozen = {
-        path_str(path): any(
-            path_str(path).startswith(pref) for pref in freeze_prefixes
+    def is_frozen(ps):
+        slashed = "/" + ps
+        return any(
+            ps.startswith(tok) or ("/" + tok) in slashed
+            for tok in freeze_prefixes
         )
-        for path, _ in flat
-    }
 
-    def label(path, _):
-        return not frozen[path_str(path)]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not is_frozen(path_str(path)), params
+    )
 
-    return jax.tree_util.tree_map_with_path(label, params)
+
+def frozen_stage_tokens(model_cfg: dict) -> tuple:
+    """Derive freeze tokens from every ``frozen_stages`` in the config.
+
+    The reference freezes the first k downsample layers + stages of each
+    ConvNeXt with ``frozen_stages=k`` (``mask_convnext.py:339-350``); all
+    shipped configs use the same k for every encoder, so global
+    stage-name tokens are exact.
+    """
+    tokens = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            k = node.get("frozen_stages", 0)
+            if isinstance(k, int):
+                for i in range(k):
+                    tokens.add(f"stage{i}_")
+                    tokens.add(f"downsample_layers_{i}/")
+            for v in node.values():
+                walk(v)
+
+    walk(model_cfg)
+    return tuple(sorted(tokens))
 
 
 def make_optimizer(

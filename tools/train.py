@@ -146,7 +146,15 @@ def main():
     )
     example = shard_batch(jax.tree.map(jnp.asarray, example), mesh)
 
-    freeze = tuple(cfg["model_init"].get("freeze", ()))
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        frozen_stage_tokens,
+    )
+
+    # model-level freeze (freeze_encoder) + per-stage frozen_stages
+    # tokens (mask_convnext.py:339-350)
+    freeze = tuple(cfg["model_init"].get("freeze", ())) + frozen_stage_tokens(
+        cfg["model"]
+    )
     with mesh:
         # two-phase: init params first, then optimizer (needs params for
         # the freeze mask)
