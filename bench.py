@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
 
     from efficient_multimodal_perception_tpu.configs import get_config

@@ -299,34 +299,37 @@ def epoch_batches(
     batch_size: int,
     shuffle: bool = True,
     seed: int = 0,
-    prefetch: int = 2,
+    prefetch: int = 4,
+    workers: int = None,
 ):
-    """Generator of Batches with background-thread prefetch.
+    """Generator of Batches with a multi-worker prefetch pool.
 
-    Replaces the torch DataLoader worker pool
-    (``datasets/builder.py``): a small thread pool decodes npz/jpeg while
-    the device computes the previous step.
+    Replaces the torch DataLoader worker pool (``datasets/builder.py``):
+    a thread pool decodes jpeg/npz in parallel (PIL and numpy IO release
+    the GIL) while the device computes; batches are yielded in order.
     """
-    import queue
-    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
+    if workers is None:
+        workers = int(dataset.cfg.get("workers", 4))
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n_batches = len(order) // batch_size
+    if n_batches == 0:
+        return
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    def make(i):
+        return dataset.batch(order[i * batch_size : (i + 1) * batch_size])
 
-    def worker():
-        for i in range(n_batches):
-            idx = order[i * batch_size : (i + 1) * batch_size]
-            q.put(dataset.batch(idx))
-        q.put(None)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        b = q.get()
-        if b is None:
-            return
-        yield b
+    with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        pending = [
+            pool.submit(make, i) for i in range(min(prefetch, n_batches))
+        ]
+        nxt = len(pending)
+        for _ in range(n_batches):
+            fut = pending.pop(0)
+            if nxt < n_batches:
+                pending.append(pool.submit(make, nxt))
+                nxt += 1
+            yield fut.result()
