@@ -99,6 +99,9 @@ def main():
         cfg["model"]["dtype"] = jnp.bfloat16
     model = build_model(cfg["model"])
     rng_names = _rng_names(cfg)
+    from efficient_multimodal_perception_tpu.utils.env import env_string
+
+    print(env_string())
     mesh = make_mesh()
     n_dev = mesh.devices.size
     print(f"devices: {n_dev} ({jax.devices()[0].platform})")
