@@ -158,13 +158,24 @@ class NuScenesDataset:
             rand_flip=cfg["rand_flip"] and self.is_train,
             is_train=self.is_train,
         )
-        self.rng = np.random.default_rng(seed)
+        self.base_seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-epoch augmentation stream."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.infos)
 
     def sample(self, index: int) -> dict:
-        """One sample as a dict of numpy arrays (no batch dim)."""
+        """One sample as a dict of numpy arrays (no batch dim).
+
+        Uses a per-(seed, epoch, index) Generator so parallel loader
+        workers never share RNG state (np.random.Generator is not
+        thread-safe) and a fixed seed reproduces exactly.
+        """
+        rng = np.random.default_rng([self.base_seed, self.epoch, index])
         info = self.infos[index]
         cfg = self.cfg
         H, W = cfg["image_size"]
@@ -182,7 +193,7 @@ class NuScenesDataset:
 
             with Image.open(path) as im:
                 ori_wh = im.size
-            r, dims, cr, fl = self.aug.sample(ori_wh, self.rng)
+            r, dims, cr, fl = self.aug.sample(ori_wh, rng)
             imgs[i] = _load_image(path, dims, cr, fl)
             resize[i], crop[i], flip[i] = r, cr[:2], fl
 
@@ -210,7 +221,7 @@ class NuScenesDataset:
             ).reshape(-1, cfg["point_dim"])
             n_sweeps = int(cfg.get("sweeps_num", 0))
             if n_sweeps > 0:
-                pts = self._aggregate_sweeps(info, pts, n_sweeps)
+                pts = self._aggregate_sweeps(info, pts, n_sweeps, rng)
             P = cfg["point_budget"]
             buf = np.zeros((P, cfg["point_dim"]), np.float32)
             n = min(len(pts), P)
@@ -230,7 +241,7 @@ class NuScenesDataset:
 
         return out
 
-    def _aggregate_sweeps(self, info, key_pts, sweeps_num):
+    def _aggregate_sweeps(self, info, key_pts, sweeps_num, rng):
         """Multi-sweep aggregation (``pipelines/loading.py:265-322``):
         transform each sweep into the keyframe LiDAR frame and store the
         time lag in channel 4.  Keyframe points get lag 0."""
@@ -245,7 +256,7 @@ class NuScenesDataset:
         elif not self.is_train:
             choices = np.arange(sweeps_num)
         else:
-            choices = self.rng.choice(len(sweeps), sweeps_num, replace=False)
+            choices = rng.choice(len(sweeps), sweeps_num, replace=False)
         for idx in choices:
             sw = sweeps[idx]
             p = np.fromfile(
@@ -315,6 +326,8 @@ def epoch_batches(
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(seed)
     n_batches = len(order) // batch_size
     if n_batches == 0:
         return

@@ -47,8 +47,18 @@ class ConcatDataset:
         return d.sample(j)
 
     def batch(self, idx):
-        first, _ = self._locate(idx[0])
-        return first.batch([self._locate(i)[1] for i in idx])
+        located = [self._locate(i) for i in idx]
+        first_ds = located[0][0]
+        if all(d is first_ds for d, _ in located):
+            return first_ds.batch([j for _, j in located])
+        # batch spans a dataset boundary: fetch per-sample batches and
+        # concatenate leaves along the batch axis
+        import jax
+
+        singles = [d.batch([j]) for d, j in located]
+        return jax.tree.map(
+            lambda *leaves: np.concatenate(leaves, axis=0), *singles
+        )
 
 
 class CBGSDataset:

@@ -63,7 +63,7 @@ class InterpNet(nn.Module):
 
         def per_sample(args):
             pts, lat, val, key = args
-            q, occ = self.create_targets(pts, val, key)
+            q, occ, q_valid = self.create_targets(pts, val, key)
             idx, mask = radius_neighbors(
                 q, pts, val, self.radius, self.k_neighbors
             )
@@ -73,7 +73,7 @@ class InterpNet(nn.Module):
             logits = self.decode(x)[..., 0]  # (Q, K)
             occ_pairs = jnp.broadcast_to(occ[:, None], logits.shape)
             bce = _bce_with_logits(logits, occ_pairs.astype(logits.dtype))
-            m = mask.astype(logits.dtype)
+            m = (mask & q_valid[:, None]).astype(logits.dtype)
             return (bce * m).sum(), m.sum()
 
         B = points.shape[0]
@@ -88,7 +88,10 @@ class InterpNet(nn.Module):
 
         Port of ``interpnet.py:141-183``: thirds are (in: +d*rand along
         the ray, occupied=1), (out: -d*rand, 0), (out-far: scaled toward
-        origin by rand, 0).
+        origin by rand, 0).  When a sample has fewer valid points than a
+        third's budget, the surplus picks are marked invalid (the
+        reference's ``randperm`` simply draws fewer) and masked out of
+        the loss; returns ``(queries, occupancies, query_valid)``.
         """
         n = self.n_non_manifold_pts
         n_out = n // 3
@@ -100,8 +103,8 @@ class InterpNet(nn.Module):
         def pick(k, count):
             scores = jax.random.uniform(k, (pts.shape[0],))
             scores = jnp.where(valid, scores, -1.0)
-            _, idx = jax.lax.top_k(scores, count)
-            return pts[idx]
+            top, idx = jax.lax.top_k(scores, count)
+            return pts[idx], top >= 0.0
 
         eps = 1e-12
 
@@ -110,15 +113,15 @@ class InterpNet(nn.Module):
                 jnp.linalg.norm(v, axis=-1, keepdims=True), eps
             )
 
-        p_in = pick(jax.random.fold_in(k_sel, 0), n_in)
+        p_in, v_in = pick(jax.random.fold_in(k_sel, 0), n_in)
         r_in = jax.random.uniform(k_in, (n_in, 1), dtype=pts.dtype)
         q_in = p_in + self.non_manifold_dist * unit(p_in) * r_in
 
-        p_out = pick(jax.random.fold_in(k_sel, 1), n_out)
+        p_out, v_out = pick(jax.random.fold_in(k_sel, 1), n_out)
         r_out = jax.random.uniform(k_out, (n_out, 1), dtype=pts.dtype)
         q_out = p_out - self.non_manifold_dist * unit(p_out) * r_out
 
-        p_far = pick(jax.random.fold_in(k_sel, 2), n_far)
+        p_far, v_far = pick(jax.random.fold_in(k_sel, 2), n_far)
         r_far = jax.random.uniform(k_far, (n_far, 1), dtype=pts.dtype)
         q_far = p_far * r_far
 
@@ -129,7 +132,8 @@ class InterpNet(nn.Module):
                 jnp.zeros((n_out + n_far,), jnp.int32),
             ]
         )
-        return q, occ
+        q_valid = jnp.concatenate([v_in, v_out, v_far], axis=0)
+        return q, occ, q_valid
 
     def test_forward(self, x):
         """Raw decode for visualization (``interpnet.py:94-110``)."""

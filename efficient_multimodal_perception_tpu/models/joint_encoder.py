@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import CameraAug, project_points_to_cameras
-from ..ops.scatter import masked_segment_sum
+from ..ops.scatter import scatter_set_2d
 from .convnext import MaskConvNeXt, random_active_mask, upsample_mask
 
 
@@ -222,16 +222,25 @@ class JointEncoder(nn.Module):
             gathered * active_valid[..., None].astype(gathered.dtype), axis=1
         ).reshape(B, RH, RW, C)
 
-        # (3) scatter positional encodings into camera features
+        # (3) scatter positional encodings into camera features.
+        # NOTE: torch advanced-index `+=` (joint_encoder.py:213) does NOT
+        # accumulate colliding writes — one (unspecified) writer wins per
+        # pixel — so this is a last-write scatter, not a segment_sum.
         pe = self.position_encoder(
             range_points.reshape(B, P, 3)
         )  # (B, P, D=C)
         pe_bn = jnp.broadcast_to(pe[:, None], (B, N, P, C)).reshape(
             B * N, P, C
         )
-        add = jax.vmap(
-            lambda f, i, v: masked_segment_sum(f, i, v, h1 * w1)
-        )(pe_bn, flat_f.reshape(B * N, P), active_valid.reshape(B * N, P))
+        zeros = jnp.zeros((B * N, h1, w1, C), pe_bn.dtype)
+        flat_bn = flat_f.reshape(B * N, P)
+        add = jax.vmap(scatter_set_2d)(
+            zeros,
+            flat_bn // w1,
+            flat_bn % w1,
+            active_valid.reshape(B * N, P),
+            pe_bn,
+        )
         img_features = img_features + add.reshape(B, N, h1, w1, C)
 
         # full-res (row, col) coords for the MAE decoders

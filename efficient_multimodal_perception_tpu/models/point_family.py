@@ -10,7 +10,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.geometry import CameraAug, project_points_to_cameras
+from ..core.geometry import (
+    CameraAug,
+    crop_to_range,
+    project_points_to_cameras,
+)
 from ..ops.sampling import grid_sample_2d
 from ..ops.scatter import scatter_set_2d
 
@@ -23,9 +27,7 @@ def voxelize_points(points, points_valid, pc_range, voxel_size):
     """
     xyz = points[..., :3]
     lo = jnp.asarray(pc_range[:3], xyz.dtype)
-    hi = jnp.asarray(pc_range[3:], xyz.dtype)
-    in_range = jnp.all((xyz > lo) & (xyz < hi), axis=-1)
-    valid = in_range & points_valid
+    valid = crop_to_range(xyz, pc_range) & points_valid
     idx = ((xyz - lo) / jnp.asarray(voxel_size, xyz.dtype)).astype(jnp.int32)
     idx = jnp.where(valid[..., None], idx, 0)
     return idx, valid

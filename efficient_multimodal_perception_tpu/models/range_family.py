@@ -12,6 +12,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.geometry import crop_to_range
 from ..core.pos_embed import pos_embed_nhwc
 from ..data.batch import Batch
 
@@ -38,10 +39,7 @@ def encode_triplane(
         per-camera projection coords for the decoders.
     """
     if crop:
-        m = (
-            jnp.all(batch.range_points > jnp.asarray(crop_range[:3]), -1)
-            & jnp.all(batch.range_points < jnp.asarray(crop_range[3:]), -1)
-        )
+        m = crop_to_range(batch.range_points, crop_range)
         range_image = batch.range_image * m[..., None].astype(
             batch.range_image.dtype
         )

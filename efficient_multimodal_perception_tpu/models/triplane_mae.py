@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..core.geometry import crop_to_range
 from ..data.batch import Batch
 from .range_family import encode_triplane
 from ..losses.sup_con import sup_con_loss
@@ -28,6 +29,41 @@ from ..ops.pallas_kernels import sample_triplane_auto
 from ..ops.sampling import sample_triplane
 from ..ops.scatter import scatter_set_2d
 from .builder import build
+
+
+
+def _scatter_points_to_cameras(rc_coors, feats, num_cams, H, W):
+    """Scatter per-range-pixel features into per-camera pixel canvases.
+
+    Shared by the camera loss and the viz reconstructions
+    (``triplane.py:379-390``).  Validity matches the reference's
+    ``coors.long(); coors[..., 0] > 0`` test (truncate, then require a
+    strictly positive row).
+
+    Args:
+        rc_coors: ``(B, N, RH, RW, 2)`` full-res (row, col) float coords,
+            -1 where invalid.
+        feats: ``(B, P, C)`` per-range-pixel features (P = RH*RW).
+
+    Returns:
+        ``(B * N, H, W, C)`` canvases.
+    """
+    B, C = feats.shape[0], feats.shape[-1]
+    rc = rc_coors.reshape(B, num_cams, -1, 2)
+    rows = jnp.floor(rc[..., 0]).astype(jnp.int32)
+    cols = jnp.floor(rc[..., 1]).astype(jnp.int32)
+    valid = rows > 0
+    bcast = jnp.broadcast_to(
+        feats[:, None], (B, num_cams, feats.shape[1], C)
+    )
+    canvas = jnp.zeros((B * num_cams, H, W, C), feats.dtype)
+    return jax.vmap(scatter_set_2d)(
+        canvas,
+        rows.reshape(B * num_cams, -1),
+        cols.reshape(B * num_cams, -1),
+        valid.reshape(B * num_cams, -1),
+        bcast.reshape(B * num_cams, -1, C),
+    )
 
 
 class TriplaneMAE(nn.Module):
@@ -143,21 +179,9 @@ class TriplaneMAE(nn.Module):
         out = {"triplane": triplane}
         if self.camera_decoder is not None:
             N, H, W = batch.img.shape[1:4]
-            rc = aux["rc_coors"].reshape(B, N, -1, 2)
-            valid = rc[..., 0] > 0
-            rows = jnp.floor(rc[..., 0]).astype(jnp.int32)
-            cols = jnp.floor(rc[..., 1]).astype(jnp.int32)
             C = range_proj.shape[-1]
-            feats = jnp.broadcast_to(
-                range_proj.reshape(B, 1, -1, C), (B, N, RH * RW, C)
-            )
-            canvas = jnp.zeros((B * N, H, W, C), range_proj.dtype)
-            scat = jax.vmap(scatter_set_2d)(
-                canvas,
-                rows.reshape(B * N, -1),
-                cols.reshape(B * N, -1),
-                valid.reshape(B * N, -1),
-                feats.reshape(B * N, -1, C),
+            scat = _scatter_points_to_cameras(
+                aux["rc_coors"], range_proj.reshape(B, -1, C), N, H, W
             )
             pred = self.camera_dec(scat)
             out["cam_recon"] = self.camera_dec.unpatchify(pred)
@@ -174,21 +198,8 @@ class TriplaneMAE(nn.Module):
         (``triplane.py:379-400``)."""
         B, N, H, W, _ = batch.img.shape
         C = range_proj.shape[-1]
-        rc = aux["rc_coors"].reshape(B, N, -1, 2)
-        # reference validity test: stored row coord > 0 (triplane.py:385)
-        valid = rc[..., 0] > 0
-        rows = jnp.floor(rc[..., 0]).astype(jnp.int32)
-        cols = jnp.floor(rc[..., 1]).astype(jnp.int32)
-        feats = range_proj.reshape(B, 1, -1, C)
-        feats = jnp.broadcast_to(feats, (B, N, feats.shape[2], C))
-
-        canvas = jnp.zeros((B * N, H, W, C), range_proj.dtype)
-        scat = jax.vmap(scatter_set_2d)(
-            canvas,
-            rows.reshape(B * N, -1),
-            cols.reshape(B * N, -1),
-            valid.reshape(B * N, -1),
-            feats.reshape(B * N, -1, C),
+        scat = _scatter_points_to_cameras(
+            aux["rc_coors"], range_proj.reshape(B, -1, C), N, H, W
         )
         cam_pred = self.camera_dec(scat)
         img = batch.img.reshape(B * N, H, W, 3)
@@ -200,7 +211,8 @@ class TriplaneMAE(nn.Module):
         B, N, H, W, _ = batch.img.shape
         C = range_proj.shape[-1]
         rc = aux["rc_coors"].reshape(B, N, -1, 2)
-        valid = rc[..., 0] > 0
+        # reference validity: coors.long()[..., 0] > 0 (triplane.py:409-413)
+        valid = jnp.floor(rc[..., 0]) > 0
         rows = jnp.clip(jnp.floor(rc[..., 0]).astype(jnp.int32), 0, H - 1)
         cols = jnp.clip(jnp.floor(rc[..., 1]).astype(jnp.int32), 0, W - 1)
         img_flat = batch.img.reshape(B, N, H * W, 3)
@@ -220,11 +232,7 @@ class TriplaneMAE(nn.Module):
         """SupCon over the 6 SAM label channels (``triplane.py:434-462``)."""
         B = batch.points.shape[0]
         pts = batch.points[..., :3]
-        in_range = (
-            jnp.all(pts > jnp.asarray(self.pc_range[:3]), -1)
-            & jnp.all(pts < jnp.asarray(self.pc_range[3:]), -1)
-            & batch.points_valid
-        )
+        in_range = crop_to_range(pts, self.pc_range) & batch.points_valid
         feats = sample_triplane_auto(
             triplane, pts, self.pc_range, self.voxel_size
         )  # (B, P, C)

@@ -80,9 +80,11 @@ def scatter_set_2d(
         values: ``(P, C)``.
     """
     H, W, _ = canvas.shape
-    rows = jnp.where(valid, rows, H)  # dropped by scatter bounds mode
+    # route invalid rows to the out-of-bounds flat index directly —
+    # computing rows*W+cols with e.g. cols=-1 would wrap back in bounds
+    flat_idx = jnp.where(valid, rows * W + cols, H * W)
     flat = canvas.reshape(-1, canvas.shape[-1])
-    out = flat.at[rows * W + cols].set(values, mode="drop")
+    out = flat.at[flat_idx].set(values, mode="drop")
     return out.reshape(canvas.shape)
 
 

@@ -75,6 +75,22 @@ def test_scatter_set_2d_drops_invalid():
     assert out[2, 0].tolist() == [3, 3]
 
 
+def test_scatter_set_2d_negative_col_not_wrapped():
+    """Invalid entries with col=-1 must be dropped, not wrap to the
+    last pixel (regression: flat index H*W + (-1) is in bounds)."""
+    canvas = jnp.zeros((4, 4, 1))
+    out = np.asarray(
+        scatter_set_2d(
+            canvas,
+            jnp.asarray([-1]),
+            jnp.asarray([-1]),
+            jnp.asarray([False]),
+            jnp.asarray([[9.0]]),
+        )
+    )
+    assert out.sum() == 0.0
+
+
 def test_radius_neighbors_vs_bruteforce():
     rng = np.random.default_rng(1)
     Q, S, r, k = 37, 500, 1.0, 8
