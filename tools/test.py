@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--data-root", default=None)
     p.add_argument("--show-dir", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 compute (fast path incl. fused kernels); default f32 "
+        "for metric parity",
+    )
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
@@ -57,6 +62,8 @@ def main():
     apply_overrides(cfg, args.cfg_options)
     if args.data_root:
         cfg["data"]["data_root"] = args.data_root
+    if args.bf16:
+        cfg["model"]["dtype"] = jnp.bfloat16
 
     model = build_model(cfg["model"])
     data_cfg = cfg["data"]
