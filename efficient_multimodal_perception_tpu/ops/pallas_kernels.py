@@ -263,15 +263,13 @@ def _cnx_kernel(
     kernel; one HBM read + one write per tile, everything else in VMEM.
     """
     tile = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2T, W+6, C)
+    tilef = tile.astype(jnp.float32)
 
-    dwk = dwk_ref[:].reshape(49, C)
+    dwk = dwk_ref[:].reshape(49, C).astype(jnp.float32)
     acc = jnp.zeros((T, W, C), jnp.float32)
     for dy in range(7):
         for dx in range(7):
-            acc = acc + (
-                tile[dy : dy + T, dx : dx + W].astype(jnp.float32)
-                * dwk[dy * 7 + dx].astype(jnp.float32)
-            )
+            acc = acc + tilef[dy : dy + T, dx : dx + W] * dwk[dy * 7 + dx]
     acc = acc + dwb_ref[:].astype(jnp.float32)
 
     # LayerNorm over channels in f32
