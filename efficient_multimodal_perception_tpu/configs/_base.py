@@ -15,7 +15,13 @@ def data_nuscenes(
     load_occ: bool = False,
     load_elev: bool = False,
     samples_per_device: int = 1,
+    sweeps_num: int = 0,
 ):
+    # Static point budget sized for the sweep count: a keyframe holds
+    # ~34k points and each aggregated sweep adds up to as many
+    # (pipelines/loading.py:177-327), so the budget scales with
+    # 1 + sweeps_num.  Over-budget aggregates are uniformly subsampled
+    # (see NuScenesDataset.sample), never file-order-truncated.
     return dict(
         type="NuScenesDataset",
         data_root="data/nuscenes",
@@ -29,7 +35,8 @@ def data_nuscenes(
         img_std=(0.229, 0.224, 0.225),
         load_points=load_points,
         point_dim=11,
-        point_budget=36864,  # static padded point count per sample
+        sweeps_num=sweeps_num,
+        point_budget=36864 * (1 + sweeps_num),
         load_occ=load_occ,
         load_elev=load_elev,
         samples_per_device=samples_per_device,

@@ -225,6 +225,19 @@ class NuScenesDataset:
             P = cfg["point_budget"]
             buf = np.zeros((P, cfg["point_dim"]), np.float32)
             n = min(len(pts), P)
+            if len(pts) > P:
+                # The reference keeps ALL points (ragged lists,
+                # loading.py:330-456); our static budget must not bias
+                # toward file order (with sweeps the aggregate routinely
+                # exceeds the budget, which would silently drop whole
+                # later sweeps).  Train: uniform random subsample.
+                # Val: deterministic stride subsample (reproducible,
+                # still uniform over sweeps).
+                if self.is_train:
+                    keep = rng.choice(len(pts), P, replace=False)
+                else:
+                    keep = np.linspace(0, len(pts) - 1, P).astype(np.int64)
+                pts = pts[keep]
             buf[:n] = pts[:n]
             out["points"] = buf
             out["points_valid"] = np.arange(P) < n
@@ -312,14 +325,26 @@ def epoch_batches(
     seed: int = 0,
     prefetch: int = 4,
     workers: int = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ):
     """Generator of Batches with a multi-worker prefetch pool.
 
     Replaces the torch DataLoader worker pool (``datasets/builder.py``):
     a thread pool decodes jpeg/npz in parallel (PIL and numpy IO release
     the GIL) while the device computes; batches are yielded in order.
+
+    ``batch_size`` is the GLOBAL batch; with ``process_count > 1`` every
+    process runs this generator with the same ``seed`` (identical
+    shuffle) and yields only its own ``batch_size/process_count`` slice
+    of each global batch — the DistributedSampler contract
+    (``parallel.mesh.process_local_indices``).  Feed the result to
+    ``parallel.mesh.shard_batch``, which assembles the global array via
+    ``jax.make_array_from_process_local_data``.
     """
     from concurrent.futures import ThreadPoolExecutor
+
+    from ..parallel.mesh import process_local_indices
 
     if workers is None:
         workers = int(dataset.cfg.get("workers", 4))
@@ -333,7 +358,10 @@ def epoch_batches(
         return
 
     def make(i):
-        return dataset.batch(order[i * batch_size : (i + 1) * batch_size])
+        idx = process_local_indices(
+            order, batch_size, i, process_index, process_count
+        )
+        return dataset.batch(idx)
 
     with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
         pending = [

@@ -176,7 +176,8 @@ class MaskConvNeXt(nn.Module):
             so the 32-row range image keeps its height.
         drop_path_rate: stochastic depth, linear over blocks.
         out_indices: stage whose output is returned (single int).
-        norm_out: apply a final LayerNorm to the output stage.
+        norm_out: accepted for config parity but DEAD (see setup note):
+            the reference registers the out-norm yet never applies it.
         out_all_scale: return all 4 stage outputs (for FPN).
         frozen_stages: stages with droppath disabled (optimizer handles
             the actual weight freeze).
@@ -236,10 +237,11 @@ class MaskConvNeXt(nn.Module):
             stages.append(blocks)
         self.downsample_layers = downs
         self.stages_ = stages
-        if self.norm_out:
-            self.out_norm = nn.LayerNorm(
-                epsilon=1e-6, dtype=self.dtype, name="out_norm"
-            )
+        # NOTE: norm_out is accepted for config-surface parity but is
+        # DEAD, exactly as in the reference: MaskConvNeXt registers
+        # ``norm{i}`` (mask_convnext.py:201-205) yet its forward never
+        # applies it, and MaskConvNeXtV2 never even registers one.  The
+        # stage-3 output feeds the neck un-normalized.
 
     def run_stages(
         self,
@@ -291,10 +293,7 @@ class MaskConvNeXt(nn.Module):
                 x, 0, 4, active_mask, deterministic, collect=True
             )
             return outs
-        x = self.run_stages(x, 0, 4, active_mask, deterministic)
-        if self.norm_out:
-            x = self.out_norm(x)
-        return x
+        return self.run_stages(x, 0, 4, active_mask, deterministic)
 
     def forward1(self, x, active_mask=None, deterministic: bool = True):
         """Stages 0..out_indices inclusive (``mask_convnextv2.py:212-244``)."""
@@ -304,12 +303,9 @@ class MaskConvNeXt(nn.Module):
 
     def forward2(self, x, active_mask=None, deterministic: bool = True):
         """Remaining stages (``mask_convnextv2.py:246-261``)."""
-        x = self.run_stages(
+        return self.run_stages(
             x, self.out_indices + 1, 4, active_mask, deterministic
         )
-        if self.norm_out:
-            x = self.out_norm(x)
-        return x
 
 
 class _Stem(nn.Module):

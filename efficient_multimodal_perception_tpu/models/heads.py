@@ -56,7 +56,9 @@ class OccMlpHead(nn.Module):
 
 
 class PointMlpHead(nn.Module):
-    """Per-point MLP head (color decoder, ``point_mlp.py:9-61``)."""
+    """Per-point MLP head (color decoder, ``point_mlp.py:24-43``):
+    two relu-then-Linear(C, C) layers followed by ``fc_out`` — note the
+    activation comes BEFORE each hidden linear in the reference."""
 
     input_dim: int
     num_classes: int
@@ -64,11 +66,11 @@ class PointMlpHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(2 * self.input_dim, use_bias=False, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.input_dim, use_bias=False, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        return nn.Dense(self.num_classes, use_bias=False, dtype=self.dtype)(x)
+        for i in range(2):
+            x = nn.Dense(
+                self.input_dim, dtype=self.dtype, name=f"mlp_{i}"
+            )(nn.relu(x))
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc_out")(x)
 
 
 def masked_mse_loss(pred, target, mask):

@@ -13,10 +13,12 @@ serial.  Here the same exchange is three static-shape array ops over all
    ``joint_encoder.py:209`` accumulates over cameras at fixed range
    pixel; a masked gather-sum reproduces it exactly, collisions included,
    because the range pixel index is dense),
-3. a 3-layer MLP positional encoding of the 3-D points is *scattered-add*
-   into the camera feature maps (``joint_encoder.py:212-213``), where
-   collisions (several range pixels hitting one camera feature pixel) are
-   reproduced with ``segment_sum``.
+3. a 3-layer MLP positional encoding of the 3-D points is *scattered*
+   into the camera feature maps (``joint_encoder.py:212-213``).  Torch's
+   advanced-index ``+=`` does NOT accumulate duplicate indices — the last
+   write wins — so collisions (several range pixels hitting one camera
+   feature pixel) are reproduced with a last-write ``scatter_set_2d``
+   (verified against a torch loop oracle in ``tests/test_interact.py``).
 """
 
 from __future__ import annotations

@@ -28,6 +28,36 @@ import jax
 import jax.numpy as jnp
 
 
+def _use_flash(sr_ratio: int, dtype, n_tokens: int, head_dim: int) -> bool:
+    """Flash attention pays off only for full (sr=1) attention over the
+    4096-token neck sequence: the materialized (B, h, N, N) f32 softmax
+    is ~1 GB of HBM traffic at B=4 there.  sr_ratio=4 decoders reduce
+    K/V to 256 tokens — the einsum is already cheap."""
+    return (
+        sr_ratio == 1
+        and dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and n_tokens % 1024 == 0
+        and head_dim % 128 == 0
+    )
+
+
+def _flash(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    n = q.shape[2]
+    b = min(1024, n)
+    bs = BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_q_dkv=b,
+        block_k_dkv=b, block_q_dq=b, block_k_dq=b, block_k_major_dq=b,
+    )
+    return flash_attention(q, k, v, sm_scale=scale, block_sizes=bs)
+
+
 class EfficientAttention(nn.Module):
     """SegFormer attention with optional K/V spatial reduction.
 
@@ -74,9 +104,14 @@ class EfficientAttention(nn.Module):
         k = k.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if _use_flash(self.sr_ratio, x.dtype, N, hd):
+            out = _flash(q, k, v, scale)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1
+            ).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 

@@ -251,47 +251,35 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + erf)
 
 
-def _cnx_kernel(
-    xa_ref, xb_ref, dwk_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-    w2_ref, b2_ref, gamma_ref, out_ref, *, T, W, C,
+def _post_kernel(
+    x_ref, y_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    gamma_ref, out_ref,
 ):
-    """Fused ConvNeXt block tile: dwconv7x7 + LN + MLP + scale + residual.
+    """Fused ConvNeXt block epilogue: LN + MLP + scale + residual.
 
-    The row halo is delivered as two consecutive T-row blocks of the
-    (H/W pre-padded) input — ``xa`` at row-tile t, ``xb`` at t+1 — so
-    Pallas's standard block pipeline (with double buffering) feeds the
-    kernel; one HBM read + one write per tile, everything else in VMEM.
+    Row-flattened tiles ``(R, C)``: ``y`` is the depthwise-conv output,
+    ``x`` the residual input.  The depthwise conv itself stays in XLA —
+    measured on v5e, XLA's depthwise lowering (2.5 ms at stage-0 B=4
+    shapes) beats an in-kernel 49-tap VPU loop (9.5 ms, VMEM-bandwidth
+    bound on the f32 accumulator round-trips), while XLA's UNfused
+    LN+MLP epilogue (8.6 ms) loses badly to this kernel (4.4 ms) — so
+    the hybrid split is the fastest arrangement of the block.
     """
-    tile = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2T, W+6, C)
-    tilef = tile.astype(jnp.float32)
+    yf = y_ref[:].astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    z = (yf - mu) * jax.lax.rsqrt(var + 1e-6)
+    z = z * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
 
-    dwk = dwk_ref[:].reshape(49, C).astype(jnp.float32)
-    acc = jnp.zeros((T, W, C), jnp.float32)
-    for dy in range(7):
-        for dx in range(7):
-            acc = acc + tilef[dy : dy + T, dx : dx + W] * dwk[dy * 7 + dx]
-    acc = acc + dwb_ref[:].astype(jnp.float32)
-
-    # LayerNorm over channels in f32
-    mu = jnp.mean(acc, axis=-1, keepdims=True)
-    var = jnp.mean((acc - mu) ** 2, axis=-1, keepdims=True)
-    y = (acc - mu) * jax.lax.rsqrt(var + 1e-6)
-    y = y * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-
-    # pointwise MLP on the MXU
     dt = w1_ref.dtype
-    y2 = y.reshape(T * W, C).astype(dt)
-    h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.dot(z.astype(dt), w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
     h = _gelu_erf(h).astype(dt)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     o = o + b2_ref[:].astype(jnp.float32)
     if gamma_ref is not None:
         o = o * gamma_ref[:].astype(jnp.float32)
-
-    res = tile[3 : 3 + T, 3 : 3 + W].astype(jnp.float32)
-    out = res + o.reshape(T, W, C)
-    out_ref[:] = out[None].astype(out_ref.dtype)
+    out_ref[:] = (x_ref[:].astype(jnp.float32) + o).astype(out_ref.dtype)
 
 
 def _xla_block_math(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
@@ -348,32 +336,45 @@ def _block_fused_bwd(res, g):
 convnext_block_fused.defvjp(_block_fused_fwd, _block_fused_bwd)
 
 
+def _post_rows(M: int, C: int) -> int:
+    """Rows per grid step: a power of two dividing M, capped so the
+    bf16 hidden activation (R, 4C) stays within ~4 MB of VMEM."""
+    cap = max(256, 4_000_000 // (8 * C))
+    r = 1
+    while M % (r * 2) == 0 and r * 2 <= min(4096, cap):
+        r *= 2
+    return r
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _block_fused_impl(
     x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, interpret=False
 ):
     N, H, W, C = x.shape
-    # the two-block halo trick needs T >= 6; all stage heights are
-    # multiples of 8
-    T = 8 if H % 8 == 0 else H
     dt = x.dtype
 
-    # pad 3 halo rows/cols; bottom-pad so padded H is (H/T + 2) * T and
-    # the t+1 row-block of the last tile stays in bounds
-    xp = jnp.pad(x, ((0, 0), (3, 2 * T - 3), (3, 3), (0, 0)))
+    # depthwise conv in XLA (see _post_kernel docstring for why)
+    y = jax.lax.conv_general_dilated(
+        x,
+        dw_k.astype(dt),
+        window_strides=(1, 1),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    ) + dw_b.astype(dt)
+
+    M = N * H * W
+    R = _post_rows(M, C)
     has_gamma = gamma is not None
 
-    kernel = functools.partial(_cnx_kernel, T=T, W=W, C=C)
+    kernel = _post_kernel
     if not has_gamma:
-        def kernel(*refs, T=T, W=W, C=C):  # noqa: F811
-            args = refs[:10] + (None,) + refs[10:]
-            return _cnx_kernel(*args, T=T, W=W, C=C)
+        def kernel(*refs):  # noqa: F811
+            return _post_kernel(*refs[:8], None, refs[8])
 
     operands = [
-        xp,
-        xp,
-        dw_k.astype(dt),
-        dw_b.astype(jnp.float32),
+        x.reshape(M, C),
+        y.reshape(M, C),
         ln_s.astype(jnp.float32),
         ln_b.astype(jnp.float32),
         w1.astype(dt),
@@ -384,36 +385,29 @@ def _block_fused_impl(
     if has_gamma:
         operands.append(gamma.astype(jnp.float32))
 
-    Wp = W + 6
-    vec_specs = [
-        pl.BlockSpec(
-            (1, T, Wp, C), lambda n, t: (n, t, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, T, Wp, C), lambda n, t: (n, t + 1, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+    specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(
             arg.shape,
-            lambda n, t, nd=arg.ndim: (0,) * nd,
+            lambda i, nd=arg.ndim: (0,) * nd,
             memory_space=pltpu.VMEM,
         )
         for arg in operands[2:]
     ]
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(N, H // T),
-        in_specs=vec_specs,
+        grid=(M // R,),
+        in_specs=specs,
         out_specs=pl.BlockSpec(
-            (1, T, W, C), lambda n, t: (n, t, 0, 0),
-            memory_space=pltpu.VMEM,
+            (R, C), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((N, H, W, C), dt),
+        out_shape=jax.ShapeDtypeStruct((M, C), dt),
         interpret=interpret,
     )(*operands)
+    return out.reshape(N, H, W, C)
 
 
 def sample_triplane_auto(triplane, points, pc_range, voxel_size):

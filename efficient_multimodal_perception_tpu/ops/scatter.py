@@ -70,8 +70,13 @@ def scatter_set_2d(
     """Write ``values`` into ``canvas[row, col]`` where valid.
 
     Matches the reference's advanced-index assignment
-    (``triplane.py:390``): on duplicate targets one writer wins
-    (unspecified which, same as torch/CUDA).
+    (``triplane.py:390``, ``joint_encoder.py:213``): torch applies the
+    writes serially in index order, so on duplicate targets the LAST
+    writer wins.  Reproduced deterministically here: a ``scatter-max``
+    of writer indices picks the highest ``p`` per target, then a gather
+    fetches that writer's value — bit-identical to a torch serial loop,
+    which the full-model parity test relies on
+    (``tests/test_full_parity.py``).
 
     Args:
         canvas: ``(H, W, C)``.
@@ -79,12 +84,21 @@ def scatter_set_2d(
         valid: ``(P,)`` bool.
         values: ``(P, C)``.
     """
-    H, W, _ = canvas.shape
+    H, W, C = canvas.shape
+    P = rows.shape[0]
     # route invalid rows to the out-of-bounds flat index directly —
     # computing rows*W+cols with e.g. cols=-1 would wrap back in bounds
     flat_idx = jnp.where(valid, rows * W + cols, H * W)
-    flat = canvas.reshape(-1, canvas.shape[-1])
-    out = flat.at[flat_idx].set(values, mode="drop")
+    order = jnp.arange(P, dtype=jnp.int32)
+    winner = (
+        jnp.full((H * W,), -1, jnp.int32)
+        .at[flat_idx]
+        .max(order, mode="drop")
+    )
+    has = winner >= 0
+    vals = values[jnp.maximum(winner, 0)]
+    flat = canvas.reshape(-1, C)
+    out = jnp.where(has[:, None], vals.astype(flat.dtype), flat)
     return out.reshape(canvas.shape)
 
 

@@ -23,24 +23,55 @@ def _ckpt_dir(work_dir: str) -> str:
     return os.path.join(os.path.abspath(work_dir), "checkpoints")
 
 
-def save_checkpoint(work_dir: str, step: int, state: Any) -> str:
-    """Save a full TrainState pytree under ``work_dir/checkpoints/<step>``."""
+def save_checkpoint(
+    work_dir: str,
+    step: int,
+    state: Any,
+    max_keep: Optional[int] = None,
+    meta: Optional[dict] = None,
+) -> str:
+    """Save a full TrainState pytree under ``work_dir/checkpoints/<step>``.
+
+    ``max_keep`` prunes the oldest saves beyond the newest ``max_keep``
+    (mmcv CheckpointHook ``max_keep_ckpts``,
+    ``configs/triplane_surf_sam.py:133-136``).  ``meta`` (config text,
+    CLASSES, …) is written as a sibling ``step_<N>.meta.json`` — the
+    counterpart of the meta dict mmcv embeds in the checkpoint file
+    (reference ``tools/train.py:213-222``).
+    """
     path = os.path.join(_ckpt_dir(work_dir), f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        import json
+
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+    if max_keep is not None and max_keep > 0:
+        for _, old in _list_checkpoints(work_dir)[:-max_keep]:
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(old + ".meta.json"):
+                os.remove(old + ".meta.json")
     return path
 
-def latest_checkpoint(work_dir: str) -> Optional[str]:
+
+def _list_checkpoints(work_dir: str):
+    """(step, path) pairs sorted by step, oldest first."""
     d = _ckpt_dir(work_dir)
     if not os.path.isdir(d):
-        return None
-    steps = [
+        return []
+    return sorted(
         (int(m.group(1)), os.path.join(d, f))
         for f in os.listdir(d)
         if (m := re.match(r"step_(\d+)$", f))
-    ]
-    return max(steps)[1] if steps else None
+    )
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    steps = _list_checkpoints(work_dir)
+    return steps[-1][1] if steps else None
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:

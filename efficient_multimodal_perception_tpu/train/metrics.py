@@ -3,9 +3,9 @@
 ``evaluation_semantic`` ports ``triplane_occ.py:468-500`` (per-class
 (tp, gt, pred) counts with gt==255 ignored; class 0 = geometry IoU), and
 ``aggregate_iou`` ports the aggregation in ``mmdet3d/apis/test.py:44-74``
-— per-sample score tensors are **summed then ratioed** after stacking
-(the reference takes the mean over samples of each count, which cancels
-in the ratio; we keep sums), with mIoU = nanmean over classes 1..K-1.
+— per-sample score tensors are **meaned over samples, then ratioed**
+(exactly what the reference does; the mean-vs-sum choice cancels in the
+ratio anyway), with mIoU = nanmean over classes 1..K-1.
 """
 
 from __future__ import annotations

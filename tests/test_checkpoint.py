@@ -22,6 +22,40 @@ def test_partial_load_name_and_shape_filter():
     np.testing.assert_allclose(np.asarray(merged["head"]["w"]), 0.0)
 
 
+def test_max_keep_pruning_and_meta(tmp_path):
+    """CheckpointHook parity: ``max_keep_ckpts`` prunes oldest saves and
+    meta (config/CLASSES) rides alongside
+    (configs/triplane_surf_sam.py:133-136, tools/train.py:213-222)."""
+    import os
+
+    from efficient_multimodal_perception_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    wd = str(tmp_path)
+    state = {"w": jnp.arange(4.0)}
+    meta = {"config": "cfg-text", "CLASSES": ["vehicle", "drivable"]}
+    for step in (5, 10, 15, 20):
+        save_checkpoint(wd, step, state, max_keep=2, meta=meta)
+
+    d = os.path.join(wd, "checkpoints")
+    kept = sorted(f for f in os.listdir(d) if not f.endswith(".json"))
+    assert kept == ["step_15", "step_20"]
+    metas = sorted(f for f in os.listdir(d) if f.endswith(".meta.json"))
+    assert metas == ["step_15.meta.json", "step_20.meta.json"]
+    import json
+
+    with open(os.path.join(d, "step_20.meta.json")) as f:
+        assert json.load(f)["CLASSES"] == ["vehicle", "drivable"]
+
+    latest = latest_checkpoint(wd)
+    assert latest.endswith("step_20")
+    restored = restore_checkpoint(latest, {"w": jnp.zeros(4)})
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0))
+
+
 def test_freeze_mask_prefixes():
     from efficient_multimodal_perception_tpu.train.trainer import freeze_mask
 

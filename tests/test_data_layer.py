@@ -132,3 +132,56 @@ def test_corners_used_by_obj_dump(tmp_path):
     save_boxes_obj(corners_3d(boxes), str(tmp_path / "b.obj"))
     save_points_obj(np.zeros((5, 3)), str(tmp_path / "p.obj"))
     assert (tmp_path / "b.obj").exists() and (tmp_path / "p.obj").exists()
+
+
+def test_waymo_dataset_fixture(tmp_path):
+    """WaymoDataset consumes a KITTI-format infos pkl + velodyne bins
+    (waymo_dataset.py:14-204 schema) and yields the common sample dict."""
+    import os
+    import pickle
+
+    from efficient_multimodal_perception_tpu.data.waymo import WaymoDataset
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "velodyne"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    infos = []
+    for s in range(2):
+        vp = f"velodyne/{s:06d}.bin"
+        pts = rng.uniform(-50, 50, (400, 6)).astype(np.float32)
+        pts.tofile(os.path.join(root, vp))
+        infos.append(
+            dict(
+                point_cloud=dict(velodyne_path=vp, num_features=6),
+                image=dict(image_path=f"image_0/{s:06d}.png"),
+                calib=dict(
+                    R0_rect=np.eye(4, dtype=np.float32),
+                    Tr_velo_to_cam=np.eye(4, dtype=np.float32),
+                    P0=np.eye(4, dtype=np.float32),
+                ),
+                annos=dict(
+                    location=rng.uniform(-10, 10, (3, 3)),
+                    dimensions=rng.uniform(1, 4, (3, 3)),
+                    rotation_y=rng.uniform(-3, 3, (3,)),
+                    name=np.array(["Car", "Pedestrian", "Cyclist"]),
+                ),
+            )
+        )
+    for split in ("train", "val"):
+        with open(os.path.join(root, f"waymo_infos_{split}.pkl"), "wb") as f:
+            pickle.dump(dict(infos=infos), f)
+
+    cfg = dict(
+        data_root=root,
+        ann_train="waymo_infos_train.pkl",
+        ann_val="waymo_infos_val.pkl",
+    )
+    ds = WaymoDataset(cfg, split="val")
+    assert len(ds) == 2
+    s = ds.sample(0)
+    assert s["points"].shape == (400, 6)
+    assert s["lidar2img"].shape == (4, 4)
+    assert s["gt_bboxes_3d"].shape == (3, 7)
+    assert list(s["gt_names"]) == ["Car", "Pedestrian", "Cyclist"]
+    # load_interval subsetting (waymo_dataset.py load_interval semantics)
+    assert len(WaymoDataset(cfg, split="train", load_interval=2)) == 1

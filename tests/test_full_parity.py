@@ -1,0 +1,140 @@
+"""FULL-MODEL numerical parity vs the torch restatement (VERDICT #1).
+
+Builds the complete TriplaneOcc forward — JointEncoder.interact ->
+MaskConvNeXt x2 -> MiT neck -> triplane grid readout -> Mlp head — in
+plain torch at FULL model scale (ConvNeXt-tiny, 6 cams 256x512, MiT
+embed 1024, 99x99x16 voxel grid), transplants its weights into the flax
+model through ``tools/import_torch_ckpt.convert_state_dict`` (the same
+mapping the checkpoint importer CLI uses), and asserts the logits
+match.  This is the executable form of the reference's
+pretrain->finetune weight-compatibility contract
+(``triplane_occ.py:94-116``).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+)
+
+from import_torch_ckpt import convert_state_dict, map_torch_key  # noqa: E402
+from torch_ref import TriplaneOcc as TorchTriplaneOcc  # noqa: E402
+
+from efficient_multimodal_perception_tpu.configs import get_config  # noqa: E402
+from efficient_multimodal_perception_tpu.data.synthetic import (  # noqa: E402
+    synthetic_batch,
+)
+from efficient_multimodal_perception_tpu.models.builder import (  # noqa: E402
+    build_model,
+)
+from efficient_multimodal_perception_tpu.train.checkpoint import (  # noqa: E402
+    partial_load,
+)
+
+LIDAR_CFG = dict(
+    depths=(3, 3, 9, 3), channels=(96, 192, 384, 768), in_channels=193,
+    stem_patch_size=(1, 4), downsample_height=False, norm_out=True,
+    out_indices=3,
+)
+CAMERA_CFG = dict(
+    depths=(3, 3, 9, 3), channels=(96, 192, 384, 768),
+    stem_patch_size=(2, 2), norm_out=True, out_indices=1,
+)
+
+
+def test_importer_key_mapping_units():
+    cases = {
+        "encoder.lidar_encoder.downsample_layers.0.0.weight":
+            "encoder/lidar_encoder/downsample_layers_0/conv/kernel",
+        "encoder.lidar_encoder.downsample_layers.2.0.weight":
+            "encoder/lidar_encoder/downsample_layers_2/norm/scale",
+        "encoder.camera_encoder.stages.2.5.pwconv1.weight":
+            "encoder/camera_encoder/stage2_block5/pwconv1_kernel",
+        "encoder.camera_encoder.stages.0.1.gamma":
+            "encoder/camera_encoder/stage0_block1/gamma",
+        "encoder.position_encoder.2.bias":
+            "encoder/position_encoder/fc2/bias",
+        "neck.transformer_block.1.attn.kv.weight":
+            "neck/block1/attn/kv/kernel",
+        "neck.transformer_block.0.mlp.dwconv.dwconv.bias":
+            "neck/block0/mlp/dwconv/bias",
+        "neck.patch_embed.norm.weight": "neck/patch_embed/norm/scale",
+        "neck.norm1.weight": "neck/norm1/scale",
+        "neck.conv2.bias": "neck/conv2/bias",
+        "decoder.conv1.0.weight": "decoder/conv1/kernel",
+        "camera_decoder.decoder_pred.weight":
+            "camera_decoder/decoder_pred/kernel",
+        "surface_decoder.mlp_layers.1.weight":
+            "surface_decoder/mlp_1/kernel",
+        "surface_decoder.fc_in.weight": "surface_decoder/fc_in/kernel",
+        "color_decoder.fc_out.bias": "color_decoder/fc_out/bias",
+    }
+    for torch_key, flax_path in cases.items():
+        got, _ = map_torch_key(torch_key)
+        assert got == flax_path, f"{torch_key} -> {got} != {flax_path}"
+    # dead params dropped
+    for dead in (
+        "encoder.lidar_encoder.norm3.weight",
+        "encoder.camera_encoder.norm1.bias",
+        "proj_cam_downsample.weight",
+    ):
+        assert map_torch_key(dead) == (None, None), dead
+
+
+def test_full_triplane_occ_parity():
+    torch.manual_seed(0)
+    tm = TorchTriplaneOcc(LIDAR_CFG, CAMERA_CFG)
+    tm.eval()
+
+    # ---- importer: torch state_dict -> flax tree, 100% adoption ----
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, converted, skipped = convert_state_dict(sd)
+    # only the dead out-norms may be skipped
+    assert all("norm3" in k or "norm1" in k for k in skipped), skipped
+
+    cfg = get_config("triplane_occ")["model"]
+    model = build_model(cfg)
+    batch = synthetic_batch(1, point_budget=2048, with_occ=True, seed=3)
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.key(0)}, b, deterministic=True
+        )
+    )(batch)
+    merged, n_ok, n_all = partial_load(variables["params"], tree)
+    assert n_ok == n_all, f"importer adopted {n_ok}/{n_all} tensors"
+    variables = {"params": merged}
+
+    # ---- flax forward (f32, full matmul precision for the comparison)
+    with jax.default_matmul_precision("highest"):
+        logits, _, _ = jax.jit(
+            lambda v, b: model.apply(v, b, deterministic=True)
+        )(variables, batch)
+    ours = np.asarray(logits)  # (B, X, Y, Z, K)
+
+    # ---- torch forward on the identical arrays ----
+    b = jax.tree.map(np.asarray, batch)
+    with torch.no_grad():
+        ref = tm(
+            img=torch.from_numpy(b.img).permute(0, 1, 4, 2, 3),
+            range_image=torch.from_numpy(b.range_image).permute(0, 3, 1, 2),
+            range_points=torch.from_numpy(b.range_points),
+            lidar2img=torch.from_numpy(b.lidar2img),
+            resize=torch.from_numpy(np.asarray(b.cam_aug.resize)),
+            crop=torch.from_numpy(np.asarray(b.cam_aug.crop)),
+            flip=np.asarray(b.cam_aug.flip),
+        )
+    theirs = ref.permute(0, 2, 3, 4, 1).numpy()  # (B, X, Y, Z, K)
+
+    assert ours.shape == theirs.shape == (1, 99, 99, 16, 5)
+    # f32 end-to-end; tolerance covers op-order drift across frameworks
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)

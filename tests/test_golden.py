@@ -15,13 +15,15 @@ from efficient_multimodal_perception_tpu.models.builder import build_model
 
 from tiny import tiny_mae, tiny_occ
 
+# regenerated in round 2 after removing the (reference-dead) encoder
+# out-norm application — see convnext.py setup note
 GOLDEN_MAE = {
-    "camera_loss": 1.238843,
-    "contrastive_loss": 7.929899,
-    "range_loss": 7.79006,
-    "surface_loss": 0.699097,
+    "camera_loss": 1.243219,
+    "contrastive_loss": 7.924494,
+    "range_loss": 7.788247,
+    "surface_loss": 0.698382,
 }
-GOLDEN_OCC = {"loss": 1.71438}
+GOLDEN_OCC = {"loss": 1.714847}
 
 
 def _forward(cfg, **kw):

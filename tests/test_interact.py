@@ -132,15 +132,14 @@ def test_interact_matches_loop_oracle():
             cols = np.clip((x * w1 / IW).astype(int), 0, w1 - 1)
             for p in np.nonzero(active)[0]:
                 cam_range[b, p] += img_feats[b, c, rows[p], cols[p]]
-            # last-write pos-embed scatter (any single writer is valid;
-            # our impl and torch both leave the winner unspecified, so
-            # only pixels with exactly one writer are compared)
-            writers = {}
+            # last-write pos-embed scatter: torch applies the writes
+            # serially, so on duplicate targets the LAST p wins — the
+            # serial loop below reproduces that exactly, and the
+            # vectorized scatter_set_2d is deterministic last-write
             for p in np.nonzero(active)[0]:
-                writers.setdefault((rows[p], cols[p]), []).append(p)
-            for (r_, c_), plist in writers.items():
-                if len(plist) == 1:
-                    exp_feats[b, c, r_, c_] += pe_all[b, plist[0]]
+                exp_feats[b, c, rows[p], cols[p]] = (
+                    img_feats[b, c, rows[p], cols[p]] + pe_all[b, p]
+                )
 
     fused = np.asarray(fused)
     np.testing.assert_allclose(
@@ -155,13 +154,6 @@ def test_interact_matches_loop_oracle():
     got_rc = np.asarray(rc).reshape(B, N, P, 2)
     np.testing.assert_allclose(got_rc, exp_rc, atol=1e-3)
 
-    # pos-embed scatter: compare only single-writer pixels
+    # pos-embed scatter: exact last-write equality, collisions included
     got_feats = np.asarray(new_feats)
-    single = np.abs(got_feats - exp_feats) < 1e-4
-    # every pixel we expect updated (single-writer) must match
-    per_pix = single.all(-1)
-    diff_pix = (~per_pix).sum()
-    # multi-writer pixels may differ; ensure they are few and that the
-    # difference equals SOME writer's embedding (sanity not asserted
-    # exhaustively here)
-    assert per_pix.mean() > 0.95, f"{diff_pix} mismatching pixels"
+    np.testing.assert_allclose(got_feats, exp_feats, atol=1e-5)

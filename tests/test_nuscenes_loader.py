@@ -176,6 +176,39 @@ def test_epoch_batches_and_model_forward(fake_root):
     assert np.isfinite(float(losses["loss"]))
 
 
+def test_point_budget_uniform_subsample(fake_root):
+    """An over-budget point set must be uniformly subsampled, never
+    truncated to a file-order prefix (which would silently drop whole
+    later sweeps — the reference keeps ALL points,
+    pipelines/loading.py:330-456)."""
+    cfg = data_cfg(fake_root)
+    cfg["point_budget"] = 256  # < the 500 points on disk
+
+    # val: deterministic stride subsample spanning the full file
+    ds = NuScenesDataset(cfg, split="val", seed=0)
+    info = ds.infos[0]
+    all_pts = np.fromfile(
+        os.path.join(fake_root, info["lidar_path"]), np.float32
+    ).reshape(-1, 11)
+    s = ds.sample(0)
+    assert s["points_valid"].all()
+    kept = s["points"]
+    # last point of the file must be reachable (prefix-truncation isn't)
+    assert np.allclose(kept[-1], all_pts[-1])
+    # deterministic across seeds
+    s2 = NuScenesDataset(cfg, split="val", seed=9).sample(0)
+    np.testing.assert_array_equal(kept, s2["points"])
+
+    # train: random subsample — every kept row exists in the file, and
+    # the tail half of the file is represented (a prefix would have 0)
+    st = NuScenesDataset(cfg, split="train", seed=0).sample(0)
+    row_set = {tuple(r) for r in all_pts}
+    assert all(tuple(r) in row_set for r in st["points"])
+    tail_set = {tuple(r) for r in all_pts[250:]}
+    n_tail = sum(tuple(r) in tail_set for r in st["points"])
+    assert n_tail > 50
+
+
 def test_test_mode_deterministic_aug(fake_root):
     """Test split uses the deterministic mean-resize center-crop
     (transforms_3d.py:58-66)."""

@@ -1,0 +1,454 @@
+"""Plain-torch restatement of the reference TriplaneOcc stack.
+
+The reference itself can't run here (mmcv/mmdet/timm absent), so this
+module re-states its full forward path in plain torch with the SAME
+state_dict key names, serving as the oracle for
+``tests/test_full_parity.py`` and as the source of reference-shaped
+checkpoints for ``tools/import_torch_ckpt.py`` round-trip tests.
+
+Semantics restated from (all paths /root/reference/):
+- ConvNeXt block dense branch  ``mmdet3d/models/utils/sparse_utils.py:213-226``
+- MaskConvNeXt stem/downsample ``mmdet3d/models/backbones/mask_convnext.py:150-183``
+  (the registered-but-never-applied out-norm is reproduced as a dead
+  registered module, :201-205)
+- JointEncoder forward+interact ``mmdet3d/models/backbones/joint_encoder.py:39-216``
+- MixVisionTransformer neck    ``mmdet3d/models/necks/mit.py:16-379``
+- TriplaneOcc roi/sampling/forward ``mmdet3d/models/detectors/triplane_occ.py:207-348``
+- Mlp occ head                 ``mmdet3d/models/dense_heads/mlp.py:25-70``
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class Block(nn.Module):
+    """ConvNeXt block, dense branch (sparse_utils.py:213-226)."""
+
+    def __init__(self, dim, layer_scale_init=1e-6):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, 4 * dim)
+        self.pwconv2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(layer_scale_init * torch.ones(dim))
+
+    def forward(self, x):
+        shortcut = x
+        x = self.dwconv(x)
+        x = x.permute(0, 2, 3, 1)
+        x = self.norm(x)
+        x = self.pwconv2(F.gelu(self.pwconv1(x)))
+        x = x.permute(0, 3, 1, 2)
+        x = x * self.gamma.view(1, -1, 1, 1)
+        return shortcut + x
+
+
+class ConvNeXt(nn.Module):
+    """MaskConvNeXt/V2 topology, dense mode (mask_convnext.py:150-199)."""
+
+    def __init__(
+        self,
+        depths=(3, 3, 9, 3),
+        channels=(96, 192, 384, 768),
+        in_channels=3,
+        stem_patch_size=(4, 4),
+        downsample_height=True,
+        norm_out=False,
+        out_indices=3,
+    ):
+        super().__init__()
+        self.downsample_layers = nn.ModuleList()
+        self.downsample_layers.append(
+            nn.Sequential(
+                nn.Conv2d(
+                    in_channels,
+                    channels[0],
+                    kernel_size=stem_patch_size,
+                    stride=stem_patch_size,
+                ),
+                nn.LayerNorm(channels[0], eps=1e-6),  # applied NHWC below
+            )
+        )
+        dk = (2, 2) if downsample_height else (1, 2)
+        for i in range(1, 4):
+            self.downsample_layers.append(
+                nn.Sequential(
+                    nn.LayerNorm(channels[i - 1], eps=1e-6),
+                    nn.Conv2d(
+                        channels[i - 1], channels[i], kernel_size=dk,
+                        stride=dk,
+                    ),
+                )
+            )
+        self.stages = nn.ModuleList(
+            nn.Sequential(*[Block(channels[i]) for _ in range(depths[i])])
+            for i in range(4)
+        )
+        if norm_out:
+            # registered but NEVER applied, exactly like the reference
+            # (mask_convnext.py:201-205 + forward :281-337)
+            self.add_module(
+                f"norm{out_indices}", nn.LayerNorm(channels[out_indices])
+            )
+
+    def _down(self, i, x):
+        if i == 0:
+            conv, ln = self.downsample_layers[0]
+            x = conv(x)
+            return ln(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        ln, conv = self.downsample_layers[i]
+        x = ln(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        return conv(x)
+
+    def run(self, x, start, end):
+        for i in range(start, end):
+            x = self._down(i, x)
+            x = self.stages[i](x)
+        return x
+
+    def forward(self, x):
+        return self.run(x, 0, 4)
+
+
+class MiTAttention(nn.Module):
+    """SegFormer attention, sr_ratio=1 case (necks/mit.py:84-156)."""
+
+    def __init__(self, dim, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        self.q = nn.Linear(dim, dim, bias=False)
+        self.kv = nn.Linear(dim, 2 * dim, bias=False)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        q = self.q(x).reshape(B, N, h, hd).permute(0, 2, 1, 3)
+        k, v = self.kv(x).chunk(2, dim=-1)
+        k = k.reshape(B, N, h, hd).permute(0, 2, 1, 3)
+        v = v.reshape(B, N, h, hd).permute(0, 2, 1, 3)
+        attn = (q @ k.transpose(-2, -1)) * hd ** -0.5
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(B, N, C)
+        return self.proj(out)
+
+
+class DWConv(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        x = x.transpose(1, 2).reshape(B, C, H, W)
+        return self.dwconv(x).flatten(2).transpose(1, 2)
+
+
+class MiTMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.dwconv = DWConv(hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x, H, W):
+        x = self.fc1(x)
+        x = F.gelu(self.dwconv(x, H, W))
+        return self.fc2(x)
+
+
+class MiTBlock(nn.Module):
+    def __init__(self, dim, num_heads, mlp_ratio=2):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = MiTAttention(dim, num_heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = MiTMlp(dim, int(dim * mlp_ratio))
+
+    def forward(self, x, H, W):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.mlp(self.norm2(x), H, W)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    def __init__(self, in_chans, embed_dim, patch_size=1, stride=1):
+        super().__init__()
+        self.proj = nn.Conv2d(
+            in_chans, embed_dim, kernel_size=patch_size, stride=stride,
+            padding=patch_size // 2,
+        )
+        self.norm = nn.LayerNorm(embed_dim)
+
+    def forward(self, x):
+        x = self.proj(x)
+        _, _, H, W = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        return self.norm(x), H, W
+
+
+class MixVisionTransformer(nn.Module):
+    """Neck (necks/mit.py:286-379)."""
+
+    def __init__(self, in_chans=768, embed_dim=1024):
+        super().__init__()
+        self.patch_embed = PatchEmbed(in_chans, embed_dim)
+        self.transformer_block = nn.ModuleList(
+            [MiTBlock(embed_dim, 4, 2) for _ in range(2)]
+        )
+        self.norm1 = nn.LayerNorm(embed_dim)
+        self.pixel_shuffle = nn.PixelShuffle(2)
+        self.conv1 = nn.Conv2d(embed_dim // 4, 128, 3, padding=1)
+        self.conv2 = nn.Conv2d(128, 96, 3, padding=1)
+
+    def forward(self, x):
+        B = x.shape[0]
+        x, H, W = self.patch_embed(x)
+        dim = int(math.sqrt(H * W))
+        for blk in self.transformer_block:
+            x = blk(x, H, W)
+        x = self.norm1(x)
+        x = x.reshape(B, dim, dim, -1).permute(0, 3, 1, 2).contiguous()
+        x = self.pixel_shuffle(x)
+        x = self.conv2(F.relu(self.conv1(x)))
+        return x
+
+
+class JointEncoder(nn.Module):
+    """joint_encoder.py:12-216 (mask ratios 0, the shipped setting)."""
+
+    def __init__(self, lidar_cfg, camera_cfg, embed_dims=192):
+        super().__init__()
+        self.lidar_encoder = ConvNeXt(**lidar_cfg)
+        self.camera_encoder = ConvNeXt(**camera_cfg)
+        self.position_encoder = nn.Sequential(
+            nn.Linear(3, embed_dims * 4),
+            nn.ReLU(),
+            nn.Linear(embed_dims * 4, embed_dims),
+        )
+        self.cam_out_index = camera_cfg.get("out_indices", 1)
+
+    def interact(self, img_features, range_image, range_points, lidar2img,
+                 resize, crop, flip, image_hw):
+        """Serial loop restating joint_encoder.py:97-215 exactly."""
+        B, N = img_features.shape[:2]
+        IH, IW = image_hw
+        h1, w1 = img_features.shape[-2:]
+        RH, RW = range_image.shape[-2:]
+
+        hom = torch.cat(
+            [range_points, torch.ones_like(range_points[..., :1])], -1
+        )
+        cam_points = torch.einsum("bcij,bhwj->bchwi", lidar2img, hom)
+        cam_points = cam_points[..., :2] / torch.clamp(
+            cam_points[..., 2:3], min=1e-5
+        )
+
+        range_mask = (range_image > 0).reshape(B, RH, RW)
+        no_point = (range_points != 0).any(-1)
+
+        C = img_features.shape[2]
+        cam_range = torch.zeros(B, C, RH, RW)
+        rc_coors = torch.zeros(B, N, RH, RW, 2) - 1
+        for b in range(B):
+            for c in range(N):
+                xy = cam_points[b, c].reshape(-1, 2).clone()
+                x = xy[:, 0] * resize[b, c] - crop[b, c, 0]
+                y = xy[:, 1] * resize[b, c] - crop[b, c, 1]
+                if flip[b, c]:
+                    x = IW - x
+                in_img = (x >= 0) & (x < IW) & (y >= 0) & (y < IH)
+                valid = in_img & no_point[b].reshape(-1)
+                active = valid & range_mask[b].reshape(-1)
+
+                rc = rc_coors[b, c].reshape(-1, 2)
+                rc[valid, 0] = y[valid]
+                rc[valid, 1] = x[valid]
+
+                rows = (y * h1 / IH).long().clamp(0, h1 - 1)
+                cols = (x * w1 / IW).long().clamp(0, w1 - 1)
+                idx = torch.nonzero(active).flatten()
+                # gather-sum onto range pixels (+= over cams via loop)
+                flat = cam_range[b].reshape(C, -1)
+                flat[:, idx] += img_features[
+                    b, c, :, rows[idx], cols[idx]
+                ]
+                # pos-embed scatter: torch advanced-index += is
+                # read-once/LAST-write on duplicates — restated with an
+                # explicit serial last-write over the original features
+                pe = self.position_encoder(
+                    range_points[b].reshape(-1, 3)[idx]
+                )
+                orig = img_features[b, c].clone()
+                for j, p in enumerate(idx.tolist()):
+                    img_features[b, c, :, rows[p], cols[p]] = (
+                        orig[:, rows[p], cols[p]] + pe[j]
+                    )
+        fused = torch.cat([range_image, cam_range], dim=1)
+        return fused, img_features, rc_coors
+
+    def forward(self, img, range_image, range_points, lidar2img,
+                resize, crop, flip, image_hw):
+        B, N, C, H, W = img.shape
+        mid = self.camera_encoder.run(
+            img.reshape(B * N, C, H, W), 0, self.cam_out_index + 1
+        )
+        h, w = mid.shape[-2:]
+        mid = mid.reshape(B, N, -1, h, w)
+        fused, mid, rc = self.interact(
+            mid, range_image, range_points, lidar2img, resize, crop, flip,
+            image_hw,
+        )
+        range_features = self.lidar_encoder(fused)
+        image_features = self.camera_encoder.run(
+            mid.reshape(B * N, -1, h, w), self.cam_out_index + 1, 4
+        )
+        image_features = image_features.reshape(
+            B, N, -1, *image_features.shape[-2:]
+        )
+        return range_features, image_features, rc
+
+
+class Mlp(nn.Module):
+    """Occ head (mlp.py:25-70)."""
+
+    def __init__(self, input_dim, num_classes):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv3d(input_dim, 2 * input_dim, 1, bias=False),
+            nn.ReLU(inplace=True),
+        )
+        self.conv2 = nn.Sequential(
+            nn.Conv3d(2 * input_dim, input_dim, 1, bias=False),
+            nn.ReLU(inplace=True),
+        )
+        self.conv3 = nn.Sequential(
+            nn.Conv3d(input_dim, num_classes, 1, bias=False)
+        )
+
+    def forward(self, x):
+        return self.conv3(self.conv2(self.conv1(x)))
+
+
+def get_2d_sincos_pos_embed(embed_dim, hw):
+    """Reuses the package's numpy sincos embed (core/pos_embed.py port
+    of the reference's pos_embed.py) as the shared constant."""
+    from efficient_multimodal_perception_tpu.core.pos_embed import (
+        pos_embed_nhwc,
+    )
+
+    e = pos_embed_nhwc(embed_dim, hw)  # (H, W, D) numpy
+    return torch.from_numpy(np.asarray(e, np.float32)).permute(2, 0, 1)
+
+
+class TriplaneOcc(nn.Module):
+    """Full occupancy model (triplane_occ.py:22-348)."""
+
+    def __init__(
+        self,
+        lidar_cfg,
+        camera_cfg,
+        neck_embed=1024,
+        num_classes=5,
+        occ_range=(-25, -25, -5, 25, 25, 3),
+        voxel_size=(0.5, 0.5, 0.5),
+        triplane_range=(-25, -25, -5, 25, 25, 3),
+        triplane_voxel_size=(0.4, 0.4, 0.1),
+        image_hw=(256, 512),
+        embed_dim=768,
+    ):
+        super().__init__()
+        self.encoder = JointEncoder(lidar_cfg, camera_cfg, embed_dims=192)
+        self.neck = MixVisionTransformer(embed_dim, neck_embed)
+        self.decoder = Mlp(32, num_classes)
+        self.occ_range = occ_range
+        self.voxel_size = voxel_size
+        self.triplane_range = triplane_range
+        self.triplane_voxel_size = triplane_voxel_size
+        self.image_hw = image_hw
+        self.embed_dim = embed_dim
+        self.occ_bounds, self.ref_3d = self.roi()
+
+    def roi(self):
+        """triplane_occ.py:291-318 verbatim math."""
+        min_x = int((abs(-50 - self.occ_range[0]) + 0.5) / self.voxel_size[0])
+        min_y = int((abs(-50 - self.occ_range[1]) + 0.5) / self.voxel_size[1])
+        max_x = int((abs(50 - self.occ_range[0]) - 0.5) / self.voxel_size[0])
+        max_y = int((abs(50 - self.occ_range[1]) - 0.5) / self.voxel_size[1])
+        X = max_x - min_x + 1
+        Y = max_y - min_y + 1
+        Z = int((self.occ_range[5] - self.occ_range[2]) / self.voxel_size[2])
+        xs = torch.arange(X).view(X, 1, 1).expand(X, Y, Z).float()
+        ys = torch.arange(Y).view(1, Y, 1).expand(X, Y, Z).float()
+        zs = torch.arange(Z).view(1, 1, Z).expand(X, Y, Z).float()
+        ref = torch.stack((xs, ys, zs), -1)
+        for d in range(3):
+            ref[..., d] = (
+                ref[..., d] + 0.5
+            ) * self.voxel_size[d] + self.occ_range[d]
+        return (min_x, min_y, max_x, max_y), ref
+
+    def sample_points_triplane(self, triplane, points):
+        """triplane_occ.py:321-348."""
+        vc = torch.zeros_like(points)
+        for d in range(3):
+            vc[..., d] = (
+                points[..., d] - self.triplane_range[d]
+            ) / self.triplane_voxel_size[d]
+        vc = vc / (triplane.shape[-1] / 2) - 1
+        b, h, w, d, p = vc.shape
+        vc = vc.view(b, h, w * d, p)
+        xy = F.grid_sample(triplane[:, 0], vc[..., [0, 1]], mode="bilinear",
+                           padding_mode="zeros", align_corners=False)
+        yz = F.grid_sample(triplane[:, 1], vc[..., [1, 2]], mode="bilinear",
+                           padding_mode="zeros", align_corners=False)
+        xz = F.grid_sample(triplane[:, 2], vc[..., [0, 2]], mode="bilinear",
+                           padding_mode="zeros", align_corners=False)
+        s = xy + yz + xz
+        return s.view(b, -1, h, w, d)
+
+    def forward(self, img, range_image, range_points, lidar2img,
+                resize, crop, flip):
+        """triplane_occ.py:234-281 train branch (loss left to caller)."""
+        tr = self.triplane_range
+        m = (
+            (range_points[..., 0] > tr[0]) & (range_points[..., 0] < tr[3])
+            & (range_points[..., 1] > tr[1]) & (range_points[..., 1] < tr[4])
+            & (range_points[..., 2] > tr[2]) & (range_points[..., 2] < tr[5])
+        )
+        range_image = range_image * m.unsqueeze(1)
+        range_points = range_points * m.unsqueeze(-1)
+
+        range_features, image_features, _ = self.encoder(
+            img, range_image, range_points, lidar2img, resize, crop, flip,
+            self.image_hw,
+        )
+        rpe = get_2d_sincos_pos_embed(
+            self.embed_dim, range_features.shape[-2:]
+        )
+        cpe = get_2d_sincos_pos_embed(
+            self.embed_dim, image_features.shape[-2:]
+        )
+        range_features = range_features + rpe
+        image_features = image_features + cpe
+
+        B, N, C, H, W = image_features.shape
+        image_features = (
+            image_features.permute(0, 2, 1, 3, 4).contiguous()
+            .view(B, C, -1, W)
+        )
+        combined = torch.cat((range_features, image_features), dim=2)
+        triplane = self.neck(combined)
+        B, C, H, W = triplane.shape
+        triplane = triplane.view(B, 3, -1, H, W)
+
+        ref = self.ref_3d.unsqueeze(0).expand(B, -1, -1, -1, -1)
+        voxel_feat = self.sample_points_triplane(triplane, ref)
+        return self.decoder(voxel_feat)

@@ -112,17 +112,25 @@ def main():
         with_elev=data_cfg.get("load_elev", False),
     )
     batch_size = data_cfg["samples_per_device"] * n_dev
+    # per-host loading: each process materializes only its slice of the
+    # global batch (DistributedSampler equivalent, reference
+    # tools/train.py:141-148); shard_batch assembles the global array
+    rank, world = jax.process_index(), jax.process_count()
+    local_bs = batch_size // world
 
     if args.synthetic:
         def batches():
             i = 0
             while True:
-                yield synthetic_batch(
+                g = synthetic_batch(
                     batch_size,
                     point_budget=data_cfg["point_budget"],
                     seed=args.seed + i,
                     as_jax=False,
                     **needs,
+                )
+                yield jax.tree.map(
+                    lambda x: x[rank * local_bs : (rank + 1) * local_bs], g
                 )
                 i += 1
 
@@ -145,7 +153,9 @@ def main():
     example = (
         next(batch_iter)
         if args.synthetic
-        else dataset.batch(list(range(batch_size)))
+        else dataset.batch(
+            list(range(rank * local_bs, (rank + 1) * local_bs))
+        )
     )
     example = shard_batch(jax.tree.map(jnp.asarray, example), mesh)
 
@@ -198,7 +208,13 @@ def main():
             it = (
                 batch_iter
                 if args.synthetic
-                else epoch_batches(dataset, batch_size, seed=args.seed + epoch)
+                else epoch_batches(
+                    dataset,
+                    batch_size,
+                    seed=args.seed + epoch,
+                    process_index=rank,
+                    process_count=world,
+                )
             )
             for b in it:
                 b = shard_batch(jax.tree.map(jnp.asarray, b), mesh)
@@ -228,7 +244,20 @@ def main():
                     break
             epoch += 1
             if epoch % cfg["checkpoint"]["interval"] == 0 or step >= total_steps:
-                path = ckpt.save_checkpoint(args.work_dir, step, state)
+                # meta mirrors what mmcv embeds in the checkpoint
+                # (reference tools/train.py:213-222): config text + CLASSES
+                path = ckpt.save_checkpoint(
+                    args.work_dir,
+                    step,
+                    state,
+                    max_keep=cfg["checkpoint"].get("max_keep"),
+                    meta=dict(
+                        config=json.dumps(cfg, default=str),
+                        CLASSES=list(cfg["model"].get("class_names") or ()),
+                        epoch=epoch,
+                        step=step,
+                    ),
+                )
                 print(f"saved {path}", flush=True)
             if args.eval_interval and epoch % args.eval_interval == 0:
                 from efficient_multimodal_perception_tpu.train.evaluator import (
@@ -251,15 +280,18 @@ def main():
                         )
                         for i in range(min(args.eval_samples, 8))
                     ]
+                    val_mesh = None
                 else:
                     from efficient_multimodal_perception_tpu.train.evaluator import (
                         make_val_batches,
                     )
 
+                    # sharded eval: B = n_devices over the data mesh
                     val_ds = NuScenesDataset(data_cfg, split="val")
                     val_iter = make_val_batches(
-                        val_ds, 1, args.eval_samples
+                        val_ds, n_dev, args.eval_samples
                     )()
+                    val_mesh = mesh
                 metrics = evaluate(
                     model,
                     variables,
@@ -269,6 +301,7 @@ def main():
                         "num_classes", 5
                     ),
                     class_names=cfg["model"].get("class_names") or (),
+                    mesh=val_mesh,
                 )
                 logger.log(step, {f"val/{k}": v for k, v in metrics.items()})
                 print(f"[eval @ epoch {epoch}] {metrics}", flush=True)
