@@ -28,27 +28,60 @@ def cross_entropy_ignore(
     return (nll * v).sum() / jnp.maximum(v.sum(), 1.0)
 
 
+class _Kernel(nn.Module):
+    """Bare kernel parameter with an ``nn.Dense``-compatible tree path
+    (``<name>/kernel``) and initializer, for heads that apply the same
+    weights in more than one algebraic form."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.linear.default_kernel_init, self.shape
+        )
+
+
 class OccMlpHead(nn.Module):
     """Occupancy head: C -> 2C -> C -> num_classes 1x1x1 convs
-    (``mlp.py:18-70``)."""
+    (``mlp.py:18-70``).
+
+    Two call modes sharing one param tree (identical to the plain
+    ``nn.Dense`` stack, so checkpoints/importer are unaffected):
+
+    * ``__call__(x)`` — per-voxel MLP over ``(..., C)``.
+    * ``__call__(x_packed, packed_z=Z)`` — consumes the z-packed
+      ``(B, X, Y, Z*C)`` readout (``ops/sampling.
+      sample_triplane_grid_mm_packed``) and applies the SAME weights as
+      block-diagonal ``kron(I_Z, W)`` matmuls.  Same math per voxel,
+      but the tensors keep a dense 512-lane minor dim instead of a
+      4x-lane-padded C=32, which cuts the head+readout HBM traffic ~4x
+      on TPU.
+    """
 
     input_dim: int
     num_classes: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(
-            2 * self.input_dim, use_bias=False, dtype=self.dtype, name="conv1"
-        )(x)
-        x = nn.relu(x)
-        x = nn.Dense(
-            self.input_dim, use_bias=False, dtype=self.dtype, name="conv2"
-        )(x)
-        x = nn.relu(x)
-        return nn.Dense(
-            self.num_classes, use_bias=False, dtype=self.dtype, name="conv3"
-        )(x)
+    def __call__(self, x, packed_z: int | None = None):
+        C = self.input_dim
+        k1 = _Kernel((C, 2 * C), name="conv1")()
+        k2 = _Kernel((2 * C, C), name="conv2")()
+        k3 = _Kernel((C, self.num_classes), name="conv3")()
+        dt = self.dtype
+        if packed_z is None:
+            x = nn.relu(x.astype(dt) @ k1.astype(dt))
+            x = nn.relu(x @ k2.astype(dt))
+            return x @ k3.astype(dt)
+
+        Z = packed_z
+        eye = jnp.eye(Z, dtype=k1.dtype)
+        x = nn.relu(x.astype(dt) @ jnp.kron(eye, k1).astype(dt))
+        x = nn.relu(x @ jnp.kron(eye, k2).astype(dt))
+        x = x @ jnp.kron(eye, k3).astype(dt)
+        B, X, Y, _ = x.shape
+        return x.reshape(B, X, Y, Z, self.num_classes)
 
     def loss(self, pred, target):
         """CE with ignore 255 (``mlp.py:73-88``)."""

@@ -17,7 +17,8 @@ serial.  Here the same exchange is three static-shape array ops over all
    into the camera feature maps (``joint_encoder.py:212-213``).  Torch's
    advanced-index ``+=`` does NOT accumulate duplicate indices — the last
    write wins — so collisions (several range pixels hitting one camera
-   feature pixel) are reproduced with a last-write ``scatter_set_2d``
+   feature pixel) are reproduced with a last-write index scatter
+   (``ops/scatter.last_write_winner_batch``) followed by a pe-row gather
    (verified against a torch loop oracle in ``tests/test_interact.py``).
 """
 
@@ -30,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import CameraAug, project_points_to_cameras
-from ..ops.scatter import scatter_set_2d
+from ..ops.scatter import last_write_winner_batch
 from .convnext import MaskConvNeXt, random_active_mask, upsample_mask
 
 
@@ -231,18 +232,19 @@ class JointEncoder(nn.Module):
         pe = self.position_encoder(
             range_points.reshape(B, P, 3)
         )  # (B, P, D=C)
-        pe_bn = jnp.broadcast_to(pe[:, None], (B, N, P, C)).reshape(
-            B * N, P, C
-        )
-        zeros = jnp.zeros((B * N, h1, w1, C), pe_bn.dtype)
+        # scatter winner *indices* per (b, cam) — one int per camera
+        # pixel — then gather pe rows: identical last-write semantics
+        # without ever materializing the (B*N, P, C) pe broadcast.
         flat_bn = flat_f.reshape(B * N, P)
-        add = jax.vmap(scatter_set_2d)(
-            zeros,
-            flat_bn // w1,
-            flat_bn % w1,
-            active_valid.reshape(B * N, P),
-            pe_bn,
-        )
+        winner = last_write_winner_batch(
+            flat_bn // w1, flat_bn % w1, active_valid.reshape(B * N, P),
+            h1, w1,
+        ).reshape(B, N, h1 * w1)
+        has = winner >= 0
+        vals = jnp.take_along_axis(
+            pe[:, None], jnp.maximum(winner, 0)[..., None], axis=2
+        )  # (B, N, h1*w1, C)
+        add = jnp.where(has[..., None], vals.astype(img_features.dtype), 0)
         img_features = img_features + add.reshape(B, N, h1, w1, C)
 
         # full-res (row, col) coords for the MAE decoders

@@ -14,9 +14,11 @@ reinterpreted as a 64x64 image (``mit.py:366-372``) — is reproduced
 exactly; it is the mechanism that turns the stacked camera+range strip
 into a square triplane.
 
-Attention is 2 blocks x 4 heads over <=8192 tokens; at this size plain
-``jnp.einsum`` softmax attention maps straight onto the MXU and needs no
-flash kernel.
+Attention is 2 blocks x 4 heads; the neck's full (sr=1) attention over
+4096 tokens dispatches to the repo's fused Pallas kernel on TPU
+(``ops/pallas_kernels.attention_pallas`` — the f32 score tile stays in
+VMEM); the sr_ratio=4 decoder blocks keep the plain einsum (K/V are only
+256 tokens there).
 """
 
 from __future__ import annotations
@@ -28,34 +30,36 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_flash(sr_ratio: int, dtype, n_tokens: int, head_dim: int) -> bool:
-    """Flash attention pays off only for full (sr=1) attention over the
+def _use_fused_attn(sr_ratio: int, dtype, n_tokens: int) -> bool:
+    """Fused attention pays off only for full (sr=1) attention over the
     4096-token neck sequence: the materialized (B, h, N, N) f32 softmax
-    is ~1 GB of HBM traffic at B=4 there.  sr_ratio=4 decoders reduce
-    K/V to 256 tokens — the einsum is already cheap."""
+    is ~1 GB of HBM traffic at B=4 there (measured 4.0 ms/block as the
+    einsum).  sr_ratio=4 decoders reduce K/V to 256 tokens -- the einsum
+    is already cheap.  The stock flash kernel wants head_dim % 128
+    (padding the neck's hd=192 to 256 measured a wash: 3.7 vs 3.9 ms),
+    so this dispatches to the repo's own
+    ``ops/pallas_kernels.attention_pallas`` -- exact f32 softmax, K/V
+    VMEM-resident, no head padding."""
     return (
         sr_ratio == 1
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
-        and n_tokens % 1024 == 0
-        and head_dim % 128 == 0
+        and n_tokens % 512 == 0
     )
 
 
-def _flash(q, k, v, scale):
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention,
-    )
+def _fused_attn(q, k, v, scale):
+    """(B, h, N, hd) -> repo fused attention over flattened heads."""
+    from ..ops.pallas_kernels import attention_pallas
 
-    n = q.shape[2]
-    b = min(1024, n)
-    bs = BlockSizes(
-        block_q=b, block_k_major=b, block_k=b, block_b=1,
-        block_q_major_dkv=b, block_k_major_dkv=b, block_q_dkv=b,
-        block_k_dkv=b, block_q_dq=b, block_k_dq=b, block_k_major_dq=b,
+    B, h, N, hd = q.shape
+    out = attention_pallas(
+        q.reshape(B * h, N, hd),
+        k.reshape(B * h, N, hd),
+        v.reshape(B * h, N, hd),
+        scale,
     )
-    return flash_attention(q, k, v, sm_scale=scale, block_sizes=bs)
+    return out.reshape(B, h, N, hd)
 
 
 class EfficientAttention(nn.Module):
@@ -104,8 +108,8 @@ class EfficientAttention(nn.Module):
         k = k.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
 
-        if _use_flash(self.sr_ratio, x.dtype, N, hd):
-            out = _flash(q, k, v, scale)
+        if _use_fused_attn(self.sr_ratio, x.dtype, N):
+            out = _fused_attn(q, k, v, scale)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
             attn = jax.nn.softmax(

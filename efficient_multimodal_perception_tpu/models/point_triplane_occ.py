@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 from ..core.geometry import occupancy_roi
 from ..data.batch import Batch
-from ..ops.sampling import sample_triplane_list
+from ..ops.sampling import (
+    sample_triplane_list,
+    sample_triplane_list_grid_packed,
+)
 from .builder import build
 from .point_family import point_to_cam, voxelize_points
 
@@ -80,15 +83,31 @@ class PointTriplaneOcc(nn.Module):
             planes.append(self.fpn_net(scales, train=not deterministic))
 
         grid_size = tuple(self.point_triplane_projector["grid_size"])
-        ref = jnp.broadcast_to(
-            jnp.asarray(self.ref_3d)[None], (B, *self.ref_3d.shape)
-        )
-        voxel_feat = sample_triplane_list(
-            planes, ref, self.triplane_range, grid_size,
-            self.triplane_voxel_size,
-        )  # (B, X, Y, Z, C)
+        from .heads import OccMlpHead
 
-        logits = self.decoder_net(voxel_feat)
+        if isinstance(self.decoder_net, OccMlpHead):
+            # separable center grid -> factorized z-packed readout +
+            # block-diagonal head (see triplane_occ.voxel_logits)
+            Z = self.ref_3d.shape[2]
+            packed = sample_triplane_list_grid_packed(
+                planes,
+                self.ref_3d[:, 0, 0, 0],
+                self.ref_3d[0, :, 0, 1],
+                self.ref_3d[0, 0, :, 2],
+                self.triplane_range,
+                grid_size,
+                self.triplane_voxel_size,
+            )
+            logits = self.decoder_net(packed, packed_z=Z)
+        else:
+            ref = jnp.broadcast_to(
+                jnp.asarray(self.ref_3d)[None], (B, *self.ref_3d.shape)
+            )
+            voxel_feat = sample_triplane_list(
+                planes, ref, self.triplane_range, grid_size,
+                self.triplane_voxel_size,
+            )  # (B, X, Y, Z, C)
+            logits = self.decoder_net(voxel_feat)
         losses = {}
         occ = None
         if batch.occupancy is not None:

@@ -16,7 +16,10 @@ import jax.numpy as jnp
 
 from ..core.geometry import occupancy_roi
 from ..data.batch import Batch
-from ..ops.sampling import sample_triplane_grid_mm
+from ..ops.sampling import (
+    sample_triplane_grid_mm,
+    sample_triplane_grid_mm_packed,
+)
 from .builder import build
 from .range_family import encode_triplane
 
@@ -70,8 +73,7 @@ class TriplaneOcc(nn.Module):
             # encoder at all (the reference pays it and discards grads)
             triplane = jax.lax.stop_gradient(triplane)
 
-        voxel_feat = self.sample_voxel_centers(triplane)
-        logits = self.decoder_net(voxel_feat)
+        logits = self.voxel_logits(triplane)
 
         losses = {}
         occ = None
@@ -113,3 +115,27 @@ class TriplaneOcc(nn.Module):
             self.triplane_range,
             self.triplane_voxel_size,
         )
+
+    def voxel_logits(self, triplane):
+        """Readout + decoder, z-packed when the decoder is the Mlp head.
+
+        The packed route (``sample_triplane_grid_mm_packed`` +
+        ``OccMlpHead(packed_z=Z)``) computes the identical per-voxel
+        math with a dense Z*C minor dim — ~4x less HBM traffic than the
+        lane-padded (..., 32) voxel tensor on TPU.  Non-Mlp decoders
+        fall back to the 5-D tensor path.
+        """
+        from .heads import OccMlpHead
+
+        if isinstance(self.decoder_net, OccMlpHead):
+            Z = self.ref_3d.shape[2]
+            packed = sample_triplane_grid_mm_packed(
+                triplane,
+                self.ref_3d[:, 0, 0, 0],
+                self.ref_3d[0, :, 0, 1],
+                self.ref_3d[0, 0, :, 2],
+                self.triplane_range,
+                self.triplane_voxel_size,
+            )
+            return self.decoder_net(packed, packed_z=Z)
+        return self.decoder_net(self.sample_voxel_centers(triplane))

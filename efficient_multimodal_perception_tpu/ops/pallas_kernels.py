@@ -432,3 +432,95 @@ def sample_triplane_auto(triplane, points, pc_range, voxel_size):
     flat = coords.reshape(B, -1, 3)
     out = triplane_sample_pallas(triplane, flat)
     return out.reshape(*shape, triplane.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Neck attention (sr_ratio=1, 4096 tokens, head_dim 192)
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
+    """Exact softmax attention for one (batch*head, q-block).
+
+    K/V for the whole 4096-token sequence fit in VMEM (1.5 MB each in
+    bf16), so no online-softmax streaming is needed — one NT matmul for
+    the scores, an exact f32 softmax (identical semantics to the XLA
+    path's ``jax.nn.softmax(f32)``), one NN matmul for the output.  The
+    (bq, N) f32 score tile never leaves VMEM, which is the entire win
+    over the einsum formulation (reference attention:
+    ``mmdet3d/models/necks/mit.py:74-156``).
+    """
+    q = q_ref[0]  # (bq, hd)
+    k = k_ref[0]  # (N, hd)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, N) f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _attn_xla(q, k, v, scale):
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attention_pallas(q, k, v, scale, interpret=False):
+    """Fused softmax attention over ``(G, N, hd)`` flattened heads.
+
+    Forward runs the Pallas kernel; the VJP replays the XLA einsum math
+    (numerically equivalent), mirroring ``convnext_block_fused``'s
+    strategy — frozen-encoder paths never reach the backward.
+    """
+    return _attn_impl(q, k, v, scale, interpret)
+
+
+def _attn_fwd(q, k, v, scale, interpret):
+    return _attn_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _attn_bwd(scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _attn_xla(a, b, c, scale), q, k, v)
+    return vjp(g)
+
+
+attention_pallas.defvjp(_attn_fwd, _attn_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _attn_impl(q, k, v, scale, interpret=False):
+    G, N, hd = q.shape
+    bq = 512 if N % 512 == 0 else N
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(G, N // bq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, hd), lambda g, i: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N, hd), lambda g, i: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N, hd), lambda g, i: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, hd), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, N, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)

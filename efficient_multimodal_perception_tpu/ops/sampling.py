@@ -244,6 +244,17 @@ def sample_triplane_grid_mm(
     Wy = jnp.asarray(interp_matrix_1d(norm(ys, 1), S))
     Wz = jnp.asarray(interp_matrix_1d(norm(zs, 2), S))
 
+    xy, yz, xz = _grid_mm_pairs(triplane, Wx, Wy, Wz)
+    out = (
+        xy[:, :, :, None, :] + yz[:, None, :, :, :] + xz[:, :, None, :, :]
+    )
+    return out.astype(triplane.dtype)
+
+
+def _grid_mm_pairs(triplane, Wx, Wy, Wz):
+    """The three factorized plane-pair readouts of
+    :func:`sample_triplane_grid_mm`: ``xy (B,X,Y,C)``, ``yz (B,Y,Z,C)``,
+    ``xz (B,X,Z,C)``, all f32."""
     f32 = jnp.float32
     hp = "highest"
     p0 = triplane[:, 0].astype(f32)  # (B, H, W, C); H=y idx, W=x idx
@@ -252,10 +263,113 @@ def sample_triplane_grid_mm(
     xy = jnp.einsum("xw,yh,bhwc->bxyc", Wx, Wy, p0, precision=hp)
     yz = jnp.einsum("yw,zh,bhwc->byzc", Wy, Wz, p1, precision=hp)
     xz = jnp.einsum("xw,zh,bhwc->bxzc", Wx, Wz, p2, precision=hp)
-    out = (
-        xy[:, :, :, None, :] + yz[:, None, :, :, :] + xz[:, :, None, :, :]
+    return xy, yz, xz
+
+
+def sample_triplane_grid_mm_packed(
+    triplane: jax.Array,
+    xs,
+    ys,
+    zs,
+    pc_range,
+    voxel_size,
+) -> jax.Array:
+    """Z-packed variant of :func:`sample_triplane_grid_mm`.
+
+    Returns ``(B, X, Y, Z*C)`` with z-major packing
+    (``packed[..., z*C + c] == grid_mm[..., z, c]``) instead of the 5-D
+    voxel tensor.  Rationale: the 5-D result's minor dim is C=32, which
+    XLA lane-pads 4x on TPU — every pass over the 627k-voxel tensor then
+    moves 4x the bytes.  Packing Z into the minor dim gives a dense
+    512-lane layout; the occupancy head consumes it directly via
+    block-diagonal (kron) weights (``models/heads.OccMlpHead``), which
+    is the same per-voxel math (``triplane_occ.py:321-348`` +
+    ``mlp.py:18-70``) at 1/4 the HBM traffic.
+    """
+    import numpy as np
+
+    S = triplane.shape[-2]
+
+    def norm(v, axis):
+        v = np.asarray(v, np.float64)
+        return (v - pc_range[axis]) / voxel_size[axis] / (S / 2.0) - 1.0
+
+    Wx = jnp.asarray(interp_matrix_1d(norm(xs, 0), S))
+    Wy = jnp.asarray(interp_matrix_1d(norm(ys, 1), S))
+    Wz = jnp.asarray(interp_matrix_1d(norm(zs, 2), S))
+
+    xy, yz, xz = _grid_mm_pairs(triplane, Wx, Wy, Wz)
+    B, X, Y, C = xy.shape
+    Z = yz.shape[2]
+    packed = (
+        jnp.tile(xy, (1, 1, 1, Z))                   # [..., z*C+c] = xy[..., c]
+        + yz.reshape(B, 1, Y, Z * C)
+        + xz.reshape(B, X, 1, Z * C)
     )
-    return out.astype(triplane.dtype)
+    return packed.astype(triplane.dtype)
+
+
+def sample_triplane_list_grid_packed(
+    planes,
+    xs,
+    ys,
+    zs,
+    pc_range,
+    grid_size,
+    voxel_size,
+) -> jax.Array:
+    """Factorized z-packed voxel-center readout of the point-family
+    list-of-planes latent.
+
+    Identical math to :func:`sample_triplane_list` on the separable
+    ``(xs, ys, zs)`` center grid (including the per-axis ``grid_size``
+    normalization and the plane-axis pairing quirk,
+    ``point_triplane.py:439-466``), but computed as two small matmuls
+    per plane and returned z-packed ``(B, X, Y, Z*C)`` for the
+    block-diagonal Mlp head — same rationale as
+    :func:`sample_triplane_grid_mm_packed`.
+    """
+    import numpy as np
+
+    def norm(v, axis):
+        v = np.asarray(v, np.float64)
+        return (
+            (v - pc_range[axis]) / voxel_size[axis] / (grid_size[axis] / 2.0)
+            - 1.0
+        )
+
+    nx, ny, nz = norm(xs, 0), norm(ys, 1), norm(zs, 2)
+    f32 = jnp.float32
+    hp = "highest"
+    # plane 0 (xy): x indexes W, y indexes H; plane 1 (yz): y->W, z->H;
+    # plane 2 (xz): x->W, z->H  (grid_sample coord pair order).
+    p0, p1, p2 = (p.astype(f32) for p in planes)
+    xy = jnp.einsum(
+        "xw,yh,bhwc->bxyc",
+        jnp.asarray(interp_matrix_1d(nx, p0.shape[2])),
+        jnp.asarray(interp_matrix_1d(ny, p0.shape[1])),
+        p0, precision=hp,
+    )
+    yz = jnp.einsum(
+        "yw,zh,bhwc->byzc",
+        jnp.asarray(interp_matrix_1d(ny, p1.shape[2])),
+        jnp.asarray(interp_matrix_1d(nz, p1.shape[1])),
+        p1, precision=hp,
+    )
+    xz = jnp.einsum(
+        "xw,zh,bhwc->bxzc",
+        jnp.asarray(interp_matrix_1d(nx, p2.shape[2])),
+        jnp.asarray(interp_matrix_1d(nz, p2.shape[1])),
+        p2, precision=hp,
+    )
+    B, X, Y, C = xy.shape
+    Z = yz.shape[2]
+    packed = (
+        jnp.tile(xy, (1, 1, 1, Z))
+        + yz.reshape(B, 1, Y, Z * C)
+        + xz.reshape(B, X, 1, Z * C)
+    )
+    return packed.astype(planes[0].dtype)
 
 
 def sample_triplane_list(

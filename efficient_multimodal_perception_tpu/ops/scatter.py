@@ -85,21 +85,75 @@ def scatter_set_2d(
         values: ``(P, C)``.
     """
     H, W, C = canvas.shape
-    P = rows.shape[0]
-    # route invalid rows to the out-of-bounds flat index directly —
-    # computing rows*W+cols with e.g. cols=-1 would wrap back in bounds
-    flat_idx = jnp.where(valid, rows * W + cols, H * W)
-    order = jnp.arange(P, dtype=jnp.int32)
-    winner = (
-        jnp.full((H * W,), -1, jnp.int32)
-        .at[flat_idx]
-        .max(order, mode="drop")
-    )
+    winner = last_write_winner(rows, cols, valid, H, W)
     has = winner >= 0
     vals = values[jnp.maximum(winner, 0)]
     flat = canvas.reshape(-1, C)
     out = jnp.where(has[:, None], vals.astype(flat.dtype), flat)
     return out.reshape(canvas.shape)
+
+
+def last_write_winner(
+    rows: jax.Array, cols: jax.Array, valid: jax.Array, H: int, W: int
+) -> jax.Array:
+    """Index of the LAST valid writer per flat target, -1 if none.
+
+    The index-only core of :func:`scatter_set_2d`: scattering winner
+    *indices* (one int per target) instead of value rows keeps the
+    scatter tiny; callers gather their values afterwards (cheap, and
+    the gather's transpose-grad is a scatter-add, which is exactly the
+    correct gradient of a last-write scatter).
+
+    Args:
+        rows/cols: ``(P,)`` int coords.
+        valid: ``(P,)`` bool.
+
+    Returns:
+        ``(H*W,)`` int32 winner point index, -1 where no writer.
+    """
+    P = rows.shape[0]
+    # route invalid rows to the out-of-bounds flat index directly —
+    # computing rows*W+cols with e.g. cols=-1 would wrap back in bounds
+    flat_idx = jnp.where(valid, rows * W + cols, H * W)
+    order = jnp.arange(P, dtype=jnp.int32)
+    return (
+        jnp.full((H * W,), -1, jnp.int32)
+        .at[flat_idx]
+        .max(order, mode="drop")
+    )
+
+
+def last_write_winner_batch(
+    rows: jax.Array, cols: jax.Array, valid: jax.Array, H: int, W: int
+) -> jax.Array:
+    """Batched :func:`last_write_winner` over a leading group axis.
+
+    One flat scatter-max over all groups (group offset folded into the
+    target index) instead of a vmapped per-group scatter — measured
+    1.7x faster on v5e (XLA lowers the batched scatter dimension
+    poorly: 24.6 ms vmapped vs 14.4 ms flat at the interact shapes).
+
+    Args:
+        rows/cols: ``(G, P)`` int coords.
+        valid: ``(G, P)`` bool.
+
+    Returns:
+        ``(G, H*W)`` int32 winner point index (within its group), -1
+        where no writer.
+    """
+    G, P = rows.shape
+    T = H * W
+    base = jnp.arange(G, dtype=jnp.int32)[:, None] * T
+    flat_idx = jnp.where(valid, rows * W + cols + base, G * T).reshape(-1)
+    order = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32), (G, P)
+    ).reshape(-1)
+    winner = (
+        jnp.full((G * T,), -1, jnp.int32)
+        .at[flat_idx]
+        .max(order, mode="drop")
+    )
+    return winner.reshape(G, T)
 
 
 def point_axis_pools(

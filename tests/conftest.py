@@ -14,9 +14,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # This container reports nproc=1; an 8-participant CPU all-reduce
+    # rendezvous then starves under ANY concurrent load and the default
+    # ~40 s terminate timeout SIGABRTs the whole pytest process (seen as
+    # "Fatal Python error: Aborted" in test_data_parallel_step).  Give
+    # the rendezvous effectively unlimited time instead.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 

@@ -115,3 +115,35 @@ def test_pallas_sampler_padding_blocks():
         + np.asarray(grid_sample_2d(tri[:, 2], coords[..., jnp.array([0, 2])]))
     )
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_attention_pallas_interpret():
+    """Fused neck attention == einsum softmax attention (values + the
+    XLA-replay gradient), interpret mode."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _attn_xla,
+        attention_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    G, N, hd = 2, 64, 24
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((G, N, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+    scale = hd**-0.5
+    out = np.asarray(attention_pallas(q, k, v, scale, True))
+    ref = np.asarray(_attn_xla(q, k, v, scale))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss_pallas(q):
+        return (attention_pallas(q, k, v, scale, True) ** 2).mean()
+
+    def loss_ref(q):
+        return (_attn_xla(q, k, v, scale) ** 2).mean()
+
+    gp = np.asarray(jax.grad(loss_pallas)(q))
+    gr = np.asarray(jax.grad(loss_ref)(q))
+    np.testing.assert_allclose(gp, gr, atol=1e-5)

@@ -149,6 +149,11 @@ def main():
         ("MiT neck", jax.jit(neck_fn), (variables, comb)),
         ("voxel readout", jax.jit(readout), (variables, tri)),
         ("decoder head", jax.jit(decoder_fn), (variables, vox)),
+        ("readout+head packed", jax.jit(
+            lambda v, t: model.apply(
+                v, t, method=lambda m, tt: m.voxel_logits(tt)
+            ).sum()
+        ), (variables, tri)),
         ("triplane (enc+neck)", jax.jit(tri_only), (variables, batch)),
         ("FULL forward", jax.jit(full), (variables, batch)),
     ]
