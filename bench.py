@@ -127,6 +127,13 @@ def main():
         metric = "triplane_occ samples/sec/chip"
         base = 10.0
 
+    # XLA cost analysis can't see inside custom calls: the fused neck
+    # attention (ops/pallas_kernels.attention_pallas, 2 blocks x 4
+    # heads x 4096 tokens x hd=256) contributes 2*2*2*N^2*hd per head.
+    if flops > 0:
+        n_tok, hd, heads, blocks = 4096, 256, 4, 2
+        flops += blocks * heads * batch_size * 2 * 2 * n_tok**2 * hd
+
     sps = batch_size * iters / dt
     step_s = dt / iters
     result = {

@@ -499,7 +499,15 @@ attention_pallas.defvjp(_attn_fwd, _attn_bwd)
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _attn_impl(q, k, v, scale, interpret=False):
     G, N, hd = q.shape
-    bq = 512 if N % 512 == 0 else N
+    # VMEM budget: the (bq, N) f32 score tile + double-buffered K/V
+    # blocks must stay under ~14 MB (the neck's hd=256 OOM'd at bq=512:
+    # 2*2*N*hd*2 bytes of K/V buffers + bq*N*4 of scores).
+    kv_bytes = 2 * 2 * N * hd * q.dtype.itemsize
+    bq = 512
+    while bq > 128 and kv_bytes + bq * N * 4 + 8 * bq * hd > 14_000_000:
+        bq //= 2
+    while N % bq:
+        bq //= 2
     kernel = functools.partial(_attn_kernel, scale=scale)
     return pl.pallas_call(
         kernel,

@@ -106,7 +106,9 @@ def test_radius_neighbors_vs_bruteforce():
     d2 = ((q[:, None] - s[None]) ** 2).sum(-1)
     d2[:, ~valid] = np.inf
     for i in range(Q):
+        # torch_geometric.radius semantics: FIRST k within radius in
+        # support-index order
         within = np.where(d2[i] <= r * r)[0]
-        expected = set(within[np.argsort(d2[i][within])][:k])
-        got = set(idx[i][mask[i]])
+        expected = list(within[:k])
+        got = list(idx[i][mask[i]])
         assert got == expected, (i, got, expected)
