@@ -174,6 +174,18 @@ jax.tree_util.register_dataclass(
     CameraAug, data_fields=["resize", "crop", "flip"], meta_fields=[]
 )
 
+try:  # allow CameraAug inside jax.export artifacts (tools/export.py)
+    from jax import export as _jexport
+
+    _jexport.register_pytree_node_serialization(
+        CameraAug,
+        serialized_name="efficient_multimodal_perception_tpu.CameraAug",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda b: (),
+    )
+except (ImportError, AttributeError, ValueError):
+    pass
+
 
 def project_points_to_cameras(
     points: jax.Array,

@@ -72,3 +72,17 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[],
 )
+
+# allow Batch inside jax.export artifacts (tools/export.py); no
+# auxdata — the field set is static
+try:
+    from jax import export as _jexport
+
+    _jexport.register_pytree_node_serialization(
+        Batch,
+        serialized_name="efficient_multimodal_perception_tpu.Batch",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda b: (),
+    )
+except (ImportError, AttributeError, ValueError):  # older jax / re-run
+    pass

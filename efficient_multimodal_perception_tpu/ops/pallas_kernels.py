@@ -73,12 +73,17 @@ def _kernel(coords_ref, p0_ref, p1_ref, p2_ref, out_ref, *, size, block):
 def _bwd_kernel(coords_ref, g_ref, o0_ref, o1_ref, o2_ref, *, size, block):
     """Accumulate dL/dplane = sum_p Wh[p,h] Wl[p,w] g[p,c] per plane.
 
-    The output blocks revisit the same (S, C, S) tile every grid step,
-    so accumulation is init-on-first-step + add.
+    Natively batched: grid is (B, n_blocks) with the point-block index
+    innermost, so each batch row's (S, C, S) output tiles are revisited
+    consecutively and accumulation is init-on-first-point-block + add.
+    (A ``jax.vmap`` over a 1-D-grid kernel instead makes the batch a
+    leading *block* dimension and the scoped-VMEM accounting then holds
+    several batches' accumulators live at once — B=4 MAE training OOM'd
+    at 23 MB scoped VMEM.)
     """
-    i = pl.program_id(0)
-    c = coords_ref[:].astype(jnp.float32)
-    g = g_ref[:].astype(jnp.float32)  # (BLK, C)
+    i = pl.program_id(1)
+    c = coords_ref[0].astype(jnp.float32)  # (BLK, 3)
+    g = g_ref[0].astype(jnp.float32)  # (BLK, C)
     C = g.shape[-1]
 
     def contrib(a, b):
@@ -95,11 +100,11 @@ def _bwd_kernel(coords_ref, g_ref, o0_ref, o1_ref, o2_ref, *, size, block):
 
         @pl.when(i == 0)
         def _(out_ref=out_ref, val=val):
-            out_ref[:] = val
+            out_ref[0] = val
 
         @pl.when(i > 0)
         def _(out_ref=out_ref, val=val):
-            out_ref[:] = out_ref[:] + val
+            out_ref[0] = out_ref[0] + val
 
 
 @functools.partial(
@@ -125,35 +130,29 @@ def _sample_bwd(block, interpret, res, g):
 
     kernel = functools.partial(_bwd_kernel, size=S, block=block)
 
-    def one_batch(coords_b, g_b):
-        return pl.pallas_call(
-            kernel,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(
-                    (block, 3), lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (block, C), lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (S, C, S), lambda i: (0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            * 3,
-            out_shape=[
-                jax.ShapeDtypeStruct((S, C, S), jnp.float32)
-            ]
-            * 3,
-            interpret=interpret,
-        )(coords_b, g_b)
+    def bk(b, i):
+        return (b, i, 0)
 
-    grads = jax.vmap(one_batch)(cpad, gpad)
+    def bo(b, i):
+        return (b, 0, 0, 0)
+
+    grads = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, 3), bk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, C), bk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, C, S), bo, memory_space=pltpu.VMEM)
+        ]
+        * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, C, S), jnp.float32)
+        ]
+        * 3,
+        interpret=interpret,
+    )(cpad, gpad)
     # (B, S, C, S)[h, c, w] x3 -> (B, 3, S, S, C)
     tri_grad = jnp.stack(
         [jnp.transpose(gr, (0, 1, 3, 2)) for gr in grads], axis=1

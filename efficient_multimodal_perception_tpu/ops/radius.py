@@ -33,9 +33,15 @@ _BLK = 128  # lane-sized inner block for the two-level cumsum
 
 
 @functools.lru_cache(maxsize=8)
+def _lower_tri_np(n: int) -> np.ndarray:
+    """(n, n) lower-triangular ones (inclusive), cached as NUMPY — a
+    cached ``jnp`` array created under a trace would leak the tracer
+    into later traces."""
+    return np.tril(np.ones((n, n), np.float32))
+
+
 def _lower_tri(n: int):
-    """(n, n) lower-triangular ones (inclusive) as a device constant."""
-    return jnp.asarray(np.tril(np.ones((n, n), np.float32)))
+    return jnp.asarray(_lower_tri_np(n))
 
 
 def radius_neighbors(

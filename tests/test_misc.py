@@ -83,3 +83,42 @@ def test_metric_logger(tmp_path):
     csv = open(os.path.join(tmp_path, "metrics.csv")).read().splitlines()
     assert csv[0] == "step,acc,loss"
     assert len(csv) == 3
+
+
+def test_export_roundtrip(tmp_path):
+    """tools/export.py: serialize a tiny occ model to StableHLO,
+    deserialize WITHOUT the model code path, compare outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from export import build_infer_fn
+
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import build_model
+    from tiny import tiny_occ
+
+    model = build_model(tiny_occ())
+    batch = synthetic_batch(1, point_budget=2048, with_occ=True, seed=0)
+    v = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b)
+    )(batch)
+    infer = build_infer_fn(model, "TriplaneOcc")
+    jitted = jax.jit(infer)
+    exported = jexport.export(jitted)(v, batch)
+    blob = exported.serialize()
+    p = tmp_path / "occ.stablehlo"
+    p.write_bytes(blob)
+
+    back = jexport.deserialize(p.read_bytes())
+    got = np.asarray(back.call(v, batch))
+    want = np.asarray(jitted(v, batch))
+    assert got.dtype == np.int8 and got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
