@@ -146,18 +146,32 @@ class ConvNeXtBlock(nn.Module):
         ) + dw_b.astype(dt)
         if mask is not None:
             x = x * mask
-        # LayerNorm over channels, f32 statistics (flax semantics)
-        xf = x.astype(jnp.float32)
-        mu = xf.mean(axis=-1, keepdims=True)
-        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
-        x = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b).astype(dt)
-        x = x @ w1.astype(dt) + b1.astype(dt)
-        x = nn.gelu(x, approximate=False)
-        x = x @ w2.astype(dt) + b2.astype(dt)
-        if gamma is not None:
-            x = x * gamma.astype(x.dtype)
-        if mask is not None:
-            x = x * mask
+        if (
+            mask is None
+            and dt == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+        ):
+            # training path with stochastic depth: the fused epilogue
+            # (with its fused Pallas backward) computes f(y); droppath
+            # and the residual stay out here
+            from ..ops.pallas_kernels import epilogue_fused
+
+            x = epilogue_fused(x, ln_s, ln_b, w1, b1, w2, b2, gamma)
+        else:
+            # LayerNorm over channels, f32 statistics (flax semantics)
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(axis=-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+            x = (
+                (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+            ).astype(dt)
+            x = x @ w1.astype(dt) + b1.astype(dt)
+            x = nn.gelu(x, approximate=False)
+            x = x @ w2.astype(dt) + b2.astype(dt)
+            if gamma is not None:
+                x = x * gamma.astype(x.dtype)
+            if mask is not None:
+                x = x * mask
         rng = None if deterministic else self.make_rng("droppath")
         return shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
 

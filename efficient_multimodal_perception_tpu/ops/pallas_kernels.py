@@ -318,18 +318,57 @@ def convnext_block_fused(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
         x: ``(N, H, W, C)``.
         dw_k: ``(7, 7, 1, C)`` depthwise kernel (HWIO).
     """
-    return _block_fused_impl(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2,
-                             gamma)
+    return _block_fused_impl(
+        x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
+        interpret=jax.default_backend() != "tpu",
+    )
 
 
 def _block_fused_fwd(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
     args = (x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma)
-    return _block_fused_impl(*args), args
+    out = _block_fused_impl(
+        *args, interpret=jax.default_backend() != "tpu"
+    )
+    return out, args
 
 
 def _block_fused_bwd(res, g):
-    _, vjp = jax.vjp(_xla_block_math, *res)
-    return vjp(g)
+    x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma = res
+    if gamma is None or x.shape[-1] > 384:
+        # no shipped config disables layer scale; C=768 falls back (see
+        # _epilogue_bwd: VMEM-sized grad accumulators)
+        _, vjp = jax.vjp(_xla_block_math, *res)
+        return vjp(g)
+
+    N, H, W, C = x.shape
+    dt = x.dtype
+
+    def conv_part(xx, kk, bb):
+        return jax.lax.conv_general_dilated(
+            xx, kk.astype(dt), (1, 1), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        ) + bb.astype(dt)
+
+    y, conv_vjp = jax.vjp(conv_part, x, dw_k, dw_b)
+    M = N * H * W
+    dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = post_epilogue_bwd(
+        y.reshape(M, C), g.reshape(M, C), ln_s, ln_b, w1, b1, w2, b2,
+        gamma, interpret=jax.default_backend() != "tpu",
+    )
+    dx_c, ddwk, ddwb = conv_vjp(dy.reshape(N, H, W, C))
+    return (
+        g + dx_c,
+        ddwk.astype(dw_k.dtype),
+        ddwb.astype(dw_b.dtype),
+        dlns.astype(ln_s.dtype),
+        dlnb.astype(ln_b.dtype),
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(b2.dtype),
+        dgamma.astype(gamma.dtype),
+    )
 
 
 convnext_block_fused.defvjp(_block_fused_fwd, _block_fused_bwd)
@@ -531,3 +570,364 @@ def _attn_impl(q, k, v, scale, interpret=False):
         out_shape=jax.ShapeDtypeStruct((G, N, hd), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward of the ConvNeXt block epilogue
+# ---------------------------------------------------------------------------
+
+
+def _erf_as(z):
+    """A&S 7.1.26 erf (abs err ~1.5e-7); shared by gelu fwd/bwd."""
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-az * az))
+
+
+def _post_bwd_kernel(
+    y_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    gamma_ref, dy_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+    db2_ref, dgamma_ref, *acc,
+):
+    """One-pass backward of ``_post_kernel``'s epilogue ``f`` in
+    ``out = x + f(y)``: recompute the forward from ``y`` (nothing is
+    saved), emit ``dy`` per row block, and accumulate all parameter
+    grads in an f32 VMEM scratch that is written out at the last grid
+    step.  (``dx = g`` is the caller's residual term.)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C = y_ref.shape[-1]
+
+    # ---- forward recompute (f32 LN, bf16 matmuls, f32 accum) ----
+    yf = y_ref[:].astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    zhat = (yf - mu) * rstd
+    lns = lns_ref[:].astype(jnp.float32)
+    z = zhat * lns + lnb_ref[:].astype(jnp.float32)
+
+    dt = w1_ref.dtype
+    zc = z.astype(dt)
+    hpre = jnp.dot(zc, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    phi_c = 0.5 * (1.0 + _erf_as(hpre * 0.7071067811865476))
+    h = (hpre * phi_c).astype(dt)
+    opre = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    opre = opre + b2_ref[:].astype(jnp.float32)
+
+    # ---- backward chain ----
+    g = g_ref[:].astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32) if gamma_ref is not None else None
+    do = g * gamma if gamma is not None else g
+    doc = do.astype(dt)
+
+    dw2_p = jnp.dot(
+        h.T, doc, preferred_element_type=jnp.float32
+    )  # (4C, C)
+    db2_p = jnp.sum(do, axis=0, keepdims=True)  # (1, C)
+    dh = jnp.dot(
+        doc, w2_ref[:].T, preferred_element_type=jnp.float32
+    )  # (R, 4C)
+    # gelu'(x) = Phi(x) + x * pdf(x)
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * hpre * hpre)
+    dhpre = dh * (phi_c + hpre * pdf)
+    dhprec = dhpre.astype(dt)
+    dw1_p = jnp.dot(zc.T, dhprec, preferred_element_type=jnp.float32)
+    db1_p = jnp.sum(dhpre, axis=0, keepdims=True)  # (1, 4C)
+    dz = jnp.dot(
+        dhprec, w1_ref[:].T, preferred_element_type=jnp.float32
+    )  # (R, C)
+    dlns_p = jnp.sum(dz * zhat, axis=0, keepdims=True)
+    dlnb_p = jnp.sum(dz, axis=0, keepdims=True)
+    dzhat = dz * lns
+    m1 = jnp.mean(dzhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dzhat * zhat, axis=-1, keepdims=True)
+    dy = rstd * (dzhat - m1 - zhat * m2)
+    dy_ref[:] = dy.astype(dy_ref.dtype)
+
+    dgamma_p = (
+        jnp.sum(g * opre, axis=0, keepdims=True) if gamma is not None
+        else jnp.zeros((1, C), jnp.float32)
+    )
+
+    # ---- param-grad accumulation in persistent 2-D scratches ----
+    C4 = w1_ref.shape[-1]
+    acc_w1, acc_w2, acc_vec = acc
+
+    def padrow(v):
+        return jnp.concatenate(
+            [v, jnp.zeros((1, C4 - v.shape[1]), v.dtype)], axis=1
+        )
+
+    vec = jnp.concatenate(
+        [
+            db1_p,
+            padrow(db2_p),
+            padrow(dlns_p),
+            padrow(dlnb_p),
+            padrow(dgamma_p),
+            jnp.zeros((3, C4), jnp.float32),
+        ],
+        axis=0,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        acc_w1[:] = dw1_p
+        acc_w2[:] = dw2_p
+        acc_vec[:] = vec
+
+    @pl.when(i > 0)
+    def _():
+        acc_w1[:] = acc_w1[:] + dw1_p
+        acc_w2[:] = acc_w2[:] + dw2_p
+        acc_vec[:] = acc_vec[:] + vec
+
+    @pl.when(i == n - 1)
+    def _():
+        dw1_ref[:] = acc_w1[:]
+        dw2_ref[:] = acc_w2[:]
+        db1_ref[:] = acc_vec[0:1, :]
+        db2_ref[:] = acc_vec[1:2, :C]
+        dlns_ref[:] = acc_vec[2:3, :C]
+        dlnb_ref[:] = acc_vec[3:4, :C]
+        dgamma_ref[:] = acc_vec[4:5, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def post_epilogue_bwd(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
+                      interpret=False):
+    """Fused backward of the block epilogue.
+
+    Args:
+        y: ``(M, C)`` depthwise-conv output (row-flattened).
+        g: ``(M, C)`` upstream gradient of the block output.
+
+    Returns:
+        ``(dy, dln_s, dln_b, dw1, db1, dw2, db2, dgamma)`` — all f32
+        except ``dy`` (y's dtype); ``dgamma`` is zeros if gamma is None.
+    """
+    M, C = y.shape
+    C4 = w1.shape[-1]
+    # the backward holds ~6 live (R, 4C) f32 temporaries (h, hpre, dh,
+    # dhpre, pdf, matmul buffers): budget R so they fit scoped VMEM
+    # (C=192 OOM'd at 26 MB with the forward's row cap)
+    cap = max(128, 8_000_000 // (C4 * 24))
+    R = 1
+    while M % (R * 2) == 0 and R * 2 <= min(2048, cap):
+        R *= 2
+    dt = y.dtype
+    has_gamma = gamma is not None
+
+    operands = [
+        y.reshape(M, C),
+        g.reshape(M, C),
+        ln_s.astype(jnp.float32),
+        ln_b.astype(jnp.float32),
+        w1.astype(dt),
+        b1.astype(jnp.float32),
+        w2.astype(dt),
+        b2.astype(jnp.float32),
+    ]
+    if has_gamma:
+        operands.append(gamma.astype(jnp.float32))
+
+    kernel = _post_bwd_kernel
+    if not has_gamma:
+        def kernel(*refs):  # noqa: F811
+            return _post_bwd_kernel(*refs[:8], None, *refs[8:])
+
+    specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            arg.shape, lambda i, nd=arg.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for arg in operands[2:]
+    ]
+    vec_shapes = [(1, C), (1, C), (C, C4), (1, C4), (C4, C), (1, C),
+                  (1, C)]
+    out_specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            shape, lambda i, nd=len(shape): (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for shape in vec_shapes
+    ]
+    out_shape = [jax.ShapeDtypeStruct((M, C), dt)] + [
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in vec_shapes
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(M // R,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((C, C4), jnp.float32),
+            pltpu.VMEM((C4, C), jnp.float32),
+            pltpu.VMEM((8, C4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = outs
+    return (dy, dlns[0], dlnb[0], dw1, db1[0], dw2, db2[0], dgamma[0])
+
+
+# ---------------------------------------------------------------------------
+# Residual-free fused epilogue (training path: droppath sits between
+# f(y) and the residual add, so the add stays outside)
+# ---------------------------------------------------------------------------
+
+
+def _epilogue_kernel(
+    y_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref,
+    out_ref,
+):
+    """``f(y) = gamma * MLP(LN(y))`` — ``_post_kernel`` without the
+    residual add, for blocks where stochastic depth wraps ``f``."""
+    yf = y_ref[:].astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    z = (yf - mu) * jax.lax.rsqrt(var + 1e-6)
+    z = z * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+
+    dt = w1_ref.dtype
+    h = jnp.dot(z.astype(dt), w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = _gelu_erf(h).astype(dt)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o = o + b2_ref[:].astype(jnp.float32)
+    if gamma_ref is not None:
+        o = o * gamma_ref[:].astype(jnp.float32)
+    out_ref[:] = o.astype(out_ref.dtype)
+
+
+def _xla_epilogue_math(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    import flax.linen as nn
+
+    dt = y.dtype
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(axis=-1, keepdims=True)
+    var = ((yf - mu) ** 2).mean(axis=-1, keepdims=True)
+    z = ((yf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b).astype(dt)
+    z = z @ w1.astype(dt) + b1.astype(dt)
+    z = nn.gelu(z, approximate=False)
+    z = z @ w2.astype(dt) + b2.astype(dt)
+    if gamma is not None:
+        z = z * gamma.astype(dt)
+    return z
+
+
+@jax.custom_vjp
+def epilogue_fused(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    """Fused ``gamma * MLP(LN(y))`` with a fused Pallas backward
+    (``post_epilogue_bwd``) — the training-path counterpart of
+    ``convnext_block_fused`` (residual + droppath stay with the caller).
+
+    Args:
+        y: ``(N, H, W, C)`` depthwise-conv output.
+    """
+    return _epilogue_impl(y, ln_s, ln_b, w1, b1, w2, b2, gamma)
+
+
+def _epilogue_fwd(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    args = (y, ln_s, ln_b, w1, b1, w2, b2, gamma)
+    return _epilogue_impl(*args), args
+
+
+def _epilogue_bwd(res, g):
+    y, ln_s, ln_b, w1, b1, w2, b2, gamma = res
+    # C=768 stages: the in-kernel (C,4C)+(4C,C) f32 grad accumulators
+    # would exceed VMEM (9.4 MB each); their matmuls are MXU-efficient
+    # in plain XLA anyway, so replay there.  C<=384 fits (4.7 MB of
+    # accumulators + R=128 row blocks).
+    if gamma is None or y.shape[-1] > 384:
+        _, vjp = jax.vjp(_xla_epilogue_math, *res)
+        return vjp(g)
+    shape = y.shape
+    C = shape[-1]
+    M = 1
+    for d in shape[:-1]:
+        M *= d
+    dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = post_epilogue_bwd(
+        y.reshape(M, C), g.reshape(M, C), ln_s, ln_b, w1, b1, w2, b2,
+        gamma, interpret=jax.default_backend() != "tpu",
+    )
+    return (
+        dy.reshape(shape).astype(y.dtype),
+        dlns.astype(ln_s.dtype),
+        dlnb.astype(ln_b.dtype),
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(b2.dtype),
+        dgamma.astype(gamma.dtype),
+    )
+
+
+epilogue_fused.defvjp(_epilogue_fwd, _epilogue_bwd)
+
+
+@jax.jit
+def _epilogue_impl(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    shape = y.shape
+    C = shape[-1]
+    M = 1
+    for d in shape[:-1]:
+        M *= d
+    R = _post_rows(M, C)
+    dt = y.dtype
+    has_gamma = gamma is not None
+    interpret = jax.default_backend() != "tpu"
+
+    kernel = _epilogue_kernel
+    if not has_gamma:
+        def kernel(*refs):  # noqa: F811
+            return _epilogue_kernel(*refs[:7], None, refs[7])
+
+    operands = [
+        y.reshape(M, C),
+        ln_s.astype(jnp.float32),
+        ln_b.astype(jnp.float32),
+        w1.astype(dt),
+        b1.astype(jnp.float32),
+        w2.astype(dt),
+        b2.astype(jnp.float32),
+    ]
+    if has_gamma:
+        operands.append(gamma.astype(jnp.float32))
+
+    specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            arg.shape, lambda i, nd=arg.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for arg in operands[1:]
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(M // R,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (R, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, C), dt),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(shape)

@@ -147,3 +147,94 @@ def test_attention_pallas_interpret():
     gp = np.asarray(jax.grad(loss_pallas)(q))
     gr = np.asarray(jax.grad(loss_ref)(q))
     np.testing.assert_allclose(gp, gr, atol=1e-5)
+
+
+def test_post_epilogue_bwd_interpret():
+    """Fused epilogue backward == jax.vjp of the XLA block math
+    (values for every cotangent), interpret mode."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _xla_block_math,
+        convnext_block_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    N, H, W, C = 2, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    params = dict(
+        dw_k=jnp.asarray(
+            (rng.standard_normal((7, 7, 1, C)) * 0.1).astype(np.float32)
+        ),
+        dw_b=jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        ln_s=jnp.asarray(1 + rng.standard_normal(C).astype(np.float32) * 0.1),
+        ln_b=jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        w1=jnp.asarray(
+            (rng.standard_normal((C, 4 * C)) * 0.1).astype(np.float32)
+        ),
+        b1=jnp.asarray(rng.standard_normal(4 * C).astype(np.float32) * 0.1),
+        w2=jnp.asarray(
+            (rng.standard_normal((4 * C, C)) * 0.1).astype(np.float32)
+        ),
+        b2=jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        gamma=jnp.asarray(
+            rng.standard_normal(C).astype(np.float32) * 0.01
+        ),
+    )
+    order = ("dw_k", "dw_b", "ln_s", "ln_b", "w1", "b1", "w2", "b2",
+             "gamma")
+
+    def loss_fused(x, p):
+        return (
+            convnext_block_fused(x, *[p[k] for k in order]) ** 2
+        ).mean()
+
+    def loss_ref(x, p):
+        return (_xla_block_math(x, *[p[k] for k in order]) ** 2).mean()
+
+    gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx2, gp2 = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(
+        np.asarray(gx1), np.asarray(gx2), atol=2e-5
+    )
+    for kname in order:
+        np.testing.assert_allclose(
+            np.asarray(gp1[kname]), np.asarray(gp2[kname]), atol=2e-5,
+            err_msg=kname,
+        )
+
+
+def test_epilogue_fused_interpret():
+    """Residual-free fused epilogue: values + grads vs XLA math."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _xla_epilogue_math,
+        epilogue_fused,
+    )
+
+    rng = np.random.default_rng(13)
+    N, H, W, C = 2, 8, 16, 32
+    y = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    p = [
+        jnp.asarray(1 + rng.standard_normal(C).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        jnp.asarray((rng.standard_normal((C, 4 * C)) * 0.1).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(4 * C).astype(np.float32) * 0.1),
+        jnp.asarray((rng.standard_normal((4 * C, C)) * 0.1).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.01),
+    ]
+    out = epilogue_fused(y, *p)
+    ref = _xla_epilogue_math(y, *p)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5
+    )
+    g1 = jax.grad(lambda y, *p: (epilogue_fused(y, *p) ** 2).mean(),
+                  argnums=tuple(range(8)))(y, *p)
+    g2 = jax.grad(lambda y, *p: (_xla_epilogue_math(y, *p) ** 2).mean(),
+                  argnums=tuple(range(8)))(y, *p)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        )
