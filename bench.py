@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: triplane_occ throughput on one TPU chip.
+"""Benchmark: triplane throughput on one TPU chip.
 
 Prints ONE JSON line, e.g.:
     {"metric": "triplane_occ samples/sec/chip", "value": N,
-     "unit": "samples/s", "vs_baseline": N / 10.0, "mfu": ...}
+     "unit": "samples/s", "vs_baseline": N / 10.0, "mfu": ...,
+     "occ_train_samples_per_s": N, "mae_train_samples_per_s": N}
 
 Baseline: the driver's north star is >= 10 nuScenes samples/sec/chip on
-v5e (BASELINE.md).  The model is the shipped ``triplane_occ`` config
-(ConvNeXt-tiny x2 + MiT-1024 neck + 99x99x16 voxel readout + MLP head)
-run in bf16 compute / f32 params, batched to fill the chip.
+v5e (BASELINE.md).  ``metric``/``value`` stay the triplane_occ inference
+number for round-over-round continuity; the train-path numbers (where
+the remaining perf headroom lives) ride along as extra keys so the
+driver's BENCH_r*.json shows them too.
 
-``--train`` benches the frozen fine-tune train step instead (adds a
-second long compile through the remote compiler).  ``mfu`` is estimated
-from XLA's cost analysis against the v5e bf16 peak (197 TF/s/chip).
+Sections (each is independently fault-isolated — a failed section
+reports an ``*_error`` key instead of killing the line):
+  infer  — triplane_occ inference, B=4 (bf16, argmax logits)
+  train  — triplane_occ frozen fine-tune train step, B=2
+  mae    — triplane_range_cam MAE pretrain train step, B=1
+
+``--only {infer,train,mae}`` runs one section (its number becomes the
+main metric).  ``--train`` is the legacy spelling of ``--only train``.
+``mfu`` is estimated from XLA's cost analysis against the v5e bf16 peak
+(197 TF/s/chip).
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16, per chip
 
@@ -31,8 +41,9 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("batch_size", nargs="?", type=int, default=4)
     p.add_argument("iters", nargs="?", type=int, default=30)
+    p.add_argument("--only", choices=("infer", "train", "mae"), default=None)
     p.add_argument("--train", action="store_true",
-                   help="bench the train step instead of inference")
+                   help="legacy: same as --only train")
     return p.parse_args()
 
 
@@ -48,10 +59,64 @@ def _flops_of(jitted, *args) -> float:
         return 0.0
 
 
-def main():
-    args = parse_args()
-    batch_size, iters = args.batch_size, args.iters
+def _fused_attn_flops(cfg, batch_size: int, dtype) -> float:
+    """FLOPs XLA's cost analysis can't see: the fused neck attention is
+    a custom call.  Gated on the SAME predicate as the kernel dispatch
+    (``models.mit._use_fused_attn``) so MFU is never overstated when the
+    einsum path runs, with N/hd/heads derived from the config."""
+    from efficient_multimodal_perception_tpu.models.mit import (
+        _use_fused_attn,
+    )
 
+    neck = cfg["model"].get("neck", {})
+    if neck.get("type") not in ("MixVisionTransformer",):
+        return 0.0
+    h, w = neck.get("img_size", (128, 32))
+    patch = neck.get("patch_size", 1)
+    n_tok = (h // patch) * (w // patch)
+    heads, blocks = 4, 2  # MixVisionTransformer hardcodes both (mit.py)
+    hd = neck.get("embed_dim", 768) // heads
+    if not _use_fused_attn(1, dtype, n_tok):
+        return 0.0
+    return blocks * heads * batch_size * 2 * 2 * n_tok**2 * hd
+
+
+def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
+    import dataclasses
+
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        frozen_stage_tokens,
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    freeze = ()
+    if frozen:
+        freeze = tuple(cfg["model_init"].get("freeze", ())) + (
+            frozen_stage_tokens(cfg["model"])
+        )
+    opt_probe = make_optimizer(cfg, 1000, None, ())
+    state = init_state(model, batch, opt_probe, 0, rng_names)
+    optimizer = make_optimizer(cfg, 1000, state.params, freeze)
+    state = dataclasses.replace(state, opt_state=optimizer.init(state.params))
+    return state, make_train_step(model, optimizer, rng_names)
+
+
+def _time_train(step_fn, state, batch, iters: int):
+    rng = jax.random.key(0)
+    state, logs = step_fn(state, batch, rng)  # compile + warmup
+    np.asarray(logs["loss"])  # hard-sync (see module docstring note)
+    flops = _flops_of(step_fn, state, batch, rng)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = step_fn(state, batch, rng)
+    np.asarray(logs["loss"])
+    dt = time.perf_counter() - t0
+    return dt, flops
+
+
+def bench_infer(batch_size: int, iters: int):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
@@ -61,90 +126,143 @@ def main():
     cfg = get_config("triplane_occ")
     cfg["model"]["dtype"] = jnp.bfloat16
     model = build_model(cfg["model"])
+    batch = synthetic_batch(
+        batch_size, with_occ=False, point_budget=4096, seed=0
+    )
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0)}, b)
+    )(batch)
 
-    import numpy as np
+    @jax.jit
+    def infer(variables, batch):
+        logits, _, _ = model.apply(variables, batch, deterministic=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
-    if args.train:
-        batch_size = min(batch_size, 2)
-        batch = synthetic_batch(
-            batch_size, with_occ=True, point_budget=4096, seed=0
-        )
-        from efficient_multimodal_perception_tpu.train.trainer import (
-            frozen_stage_tokens,
-            init_state,
-            make_optimizer,
-            make_train_step,
-        )
+    # warmup / compile; NOTE: hard-sync via host transfer — through the
+    # axon tunnel, block_until_ready returns before execution finishes.
+    np.asarray(infer(variables, batch))
+    flops = _flops_of(infer, variables, batch)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, batch)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)
+    return dict(
+        samples_per_s=batch_size * iters / dt,
+        step_s=dt / iters,
+        flops=flops,
+    )
 
-        freeze = tuple(cfg["model_init"].get("freeze", ())) + (
-            frozen_stage_tokens(cfg["model"])
-        )
-        rng_names = ("sample", "droppath")
-        opt_probe = make_optimizer(cfg, 1000, None, ())
-        state = init_state(model, batch, opt_probe, 0, rng_names)
-        import dataclasses
 
-        optimizer = make_optimizer(cfg, 1000, state.params, freeze)
-        state = dataclasses.replace(
-            state, opt_state=optimizer.init(state.params)
-        )
-        step_fn = make_train_step(model, optimizer, rng_names)
-        rng = jax.random.key(0)
+def bench_occ_train(batch_size: int, iters: int):
+    from efficient_multimodal_perception_tpu.configs import get_config
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import build_model
 
-        state, logs = step_fn(state, batch, rng)  # compile + warmup
-        np.asarray(logs["loss"])
-        flops = _flops_of(step_fn, state, batch, rng)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, logs = step_fn(state, batch, rng)
-        np.asarray(logs["loss"])
-        dt = time.perf_counter() - t0
-        metric = "triplane_occ train samples/sec/chip"
-        base = 10.0
-    else:
-        batch = synthetic_batch(
-            batch_size, with_occ=False, point_budget=4096, seed=0
-        )
-        variables = jax.jit(
-            lambda b: model.init({"params": jax.random.key(0)}, b)
-        )(batch)
+    cfg = get_config("triplane_occ")
+    cfg["model"]["dtype"] = jnp.bfloat16
+    model = build_model(cfg["model"])
+    batch = synthetic_batch(
+        batch_size, with_occ=True, point_budget=4096, seed=0
+    )
+    state, step_fn = _make_train_state(
+        cfg, model, batch, ("sample", "droppath"), frozen=True
+    )
+    dt, flops = _time_train(step_fn, state, batch, iters)
+    flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)
+    return dict(
+        samples_per_s=batch_size * iters / dt,
+        step_s=dt / iters,
+        flops=flops,
+    )
 
-        @jax.jit
-        def infer(variables, batch):
-            logits, _, _ = model.apply(variables, batch, deterministic=True)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
-        # warmup / compile; NOTE: hard-sync via host transfer — through
-        # the axon tunnel, block_until_ready returns before execution
-        # finishes.
-        np.asarray(infer(variables, batch))
-        flops = _flops_of(infer, variables, batch)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = infer(variables, batch)
-        np.asarray(out)
-        dt = time.perf_counter() - t0
-        metric = "triplane_occ samples/sec/chip"
-        base = 10.0
+def bench_mae_train(batch_size: int, iters: int):
+    from efficient_multimodal_perception_tpu.configs import get_config
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import build_model
 
-    # XLA cost analysis can't see inside custom calls: the fused neck
-    # attention (ops/pallas_kernels.attention_pallas, 2 blocks x 4
-    # heads x 4096 tokens x hd=256) contributes 2*2*2*N^2*hd per head.
-    if flops > 0:
-        n_tok, hd, heads, blocks = 4096, 256, 4, 2
-        flops += blocks * heads * batch_size * 2 * 2 * n_tok**2 * hd
+    cfg = get_config("triplane_range_cam")
+    cfg["model"]["dtype"] = jnp.bfloat16
+    model = build_model(cfg["model"])
+    batch = synthetic_batch(
+        batch_size,
+        with_occ=False,
+        point_budget=cfg["data"]["point_budget"],
+        seed=0,
+    )
+    enc = cfg["model"].get("encoder", {})
+    rng_names = ["sample", "droppath"]
+    if (
+        enc.get("lidar_mask_ratio", 0) > 0
+        or enc.get("camera_mask_ratio", 0) > 0
+    ):
+        rng_names.append("mask")
+    state, step_fn = _make_train_state(
+        cfg, model, batch, tuple(rng_names), frozen=False
+    )
+    dt, flops = _time_train(step_fn, state, batch, iters)
+    return dict(
+        samples_per_s=batch_size * iters / dt,
+        step_s=dt / iters,
+        flops=flops,
+    )
 
-    sps = batch_size * iters / dt
-    step_s = dt / iters
-    result = {
-        "metric": metric,
-        "value": round(sps, 2),
-        "unit": "samples/s",
-        "vs_baseline": round(sps / base, 3),
+
+def main():
+    args = parse_args()
+    only = args.only or ("train" if args.train else None)
+
+    sections = {}
+    plan = [only] if only else ["infer", "train", "mae"]
+    runners = {
+        "infer": lambda: bench_infer(args.batch_size, args.iters),
+        "train": lambda: bench_occ_train(
+            min(args.batch_size, 2), max(10, args.iters // 3)
+        ),
+        "mae": lambda: bench_mae_train(1, max(8, args.iters // 4)),
     }
-    if flops > 0:
-        result["mfu"] = round(flops / step_s / V5E_PEAK_FLOPS, 4)
-        result["tflops_per_step"] = round(flops / 1e12, 3)
+    for name in plan:
+        try:
+            sections[name] = runners[name]()
+        except Exception as e:  # fault-isolate: one bad section
+            sections[name] = dict(error=f"{type(e).__name__}: {e}"[:300])
+
+    main_name = only or "infer"
+    metric_names = {
+        "infer": "triplane_occ samples/sec/chip",
+        "train": "triplane_occ train samples/sec/chip",
+        "mae": "triplane_range_cam MAE train samples/sec/chip",
+    }
+    base = 10.0
+    main = sections.get(main_name, {})
+    result = {
+        "metric": metric_names[main_name],
+        "value": round(main.get("samples_per_s", 0.0), 2),
+        "unit": "samples/s",
+        "vs_baseline": round(main.get("samples_per_s", 0.0) / base, 3),
+    }
+    if main.get("flops", 0) > 0:
+        result["mfu"] = round(
+            main["flops"] / main["step_s"] / V5E_PEAK_FLOPS, 4
+        )
+        result["tflops_per_step"] = round(main["flops"] / 1e12, 3)
+    for name in plan:
+        if name == main_name:
+            continue
+        s = sections[name]
+        key = {"train": "occ_train", "mae": "mae_train", "infer": "infer"}[
+            name
+        ]
+        if "error" in s:
+            result[f"{key}_error"] = s["error"]
+        else:
+            result[f"{key}_samples_per_s"] = round(s["samples_per_s"], 2)
     print(json.dumps(result))
 
 

@@ -473,7 +473,7 @@ def sample_triplane_auto(triplane, points, pc_range, voxel_size):
 
 
 # ---------------------------------------------------------------------------
-# Neck attention (sr_ratio=1, 4096 tokens, head_dim 192)
+# Neck attention (sr_ratio=1, 4096 tokens, head_dim 256 = embed 1024 / 4 heads)
 # ---------------------------------------------------------------------------
 
 

@@ -90,7 +90,15 @@ def radius_neighbors(
 
     def one_chunk(qc):
         q2 = jnp.sum(qc * qc, axis=-1)
-        d2 = q2[:, None] + s2[None, :] - 2.0 * (qc @ st)  # (chunk, SP)
+        # precision="highest": default matmul precision is bf16 on TPU,
+        # and with LiDAR-frame coords (tens of m) the q.s term is
+        # O(1e3) m^2 — bf16 rounding there is O(1) m^2, the same order
+        # as InterpNet's r^2=1.0 threshold.  K=3 so f32 is free.  The
+        # cumsum matmuls below stay at default precision (0/1 and
+        # small-int operands are exact in bf16).
+        d2 = q2[:, None] + s2[None, :] - 2.0 * jnp.matmul(
+            qc, st, precision="highest"
+        )  # (chunk, SP)
         within = (d2 <= r2) & vp[None, :] & (
             jnp.arange(SP, dtype=jnp.int32)[None, :] < S
         )
