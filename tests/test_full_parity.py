@@ -27,7 +27,12 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
 )
 
-from import_torch_ckpt import convert_state_dict, map_torch_key  # noqa: E402
+from import_torch_ckpt import (  # noqa: E402
+    convert_state_dict,
+    map_torch_key,
+    split_collections,
+)
+from torch_ref import PointTriplaneOcc as TorchPointTriplaneOcc  # noqa: E402
 from torch_ref import TriplaneOcc as TorchTriplaneOcc  # noqa: E402
 
 from efficient_multimodal_perception_tpu.configs import get_config  # noqa: E402
@@ -137,4 +142,115 @@ def test_full_triplane_occ_parity():
 
     assert ours.shape == theirs.shape == (1, 99, 99, 16, 5)
     # f32 end-to-end; tolerance covers op-order drift across frameworks
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_point_family_importer_key_mapping_units():
+    cases = {
+        "point_triplane_projector.point_mlp.0.weight":
+            "point_triplane_projector/bn_in/scale",
+        "point_triplane_projector.point_mlp.0.running_mean":
+            "batch_stats/point_triplane_projector/bn_in/mean",
+        "point_triplane_projector.point_mlp.4.weight":
+            "point_triplane_projector/fc1/kernel",
+        "point_triplane_projector.point_mlp.8.running_var":
+            "batch_stats/point_triplane_projector/bn2/var",
+        "point_triplane_projector.point_mlp.10.bias":
+            "point_triplane_projector/fc_out/bias",
+        "point_triplane_projector.reduce_cam_channels.weight":
+            "point_triplane_projector/reduce_cam_channels/kernel",
+        "point_triplane_projector.mlp_yz.2.weight":
+            "point_triplane_projector/mlp_yz_fc2/kernel",
+        "fpn.lateral_convs.1.conv.weight": "fpn/lateral1/conv/kernel",
+        "fpn.lateral_convs.0.bn.running_mean":
+            "batch_stats/fpn/lateral0/bn/mean",
+        "fpn.fpn_convs.2.bn.weight": "fpn/fpn2/bn/scale",
+        "decoder.conv2.0.weight": "decoder/conv2/kernel",
+    }
+    for torch_key, flax_path in cases.items():
+        got, _ = map_torch_key(torch_key)
+        assert got == flax_path, f"{torch_key} -> {got} != {flax_path}"
+    for dead in (
+        "triplane_encoder.norm3.weight",
+        "fpn.lateral_convs.0.bn.num_batches_tracked",
+        "point_triplane_projector.point_mlp.2.num_batches_tracked",
+    ):
+        assert map_torch_key(dead) == (None, None), dead
+
+
+def test_full_point_triplane_occ_parity():
+    """Full-scale PointTriplaneOcc logits parity vs the torch
+    restatement (VERDICT r2 #1): exercises the spconv/torch_scatter
+    replacement (``point_projector``/``ops.scatter``), point_to_cam's
+    swapped-grid quirk, the shared triplane encoder, GeneralizedLSSFPN
+    and the per-axis grid_size readout end-to-end on shared weights."""
+    torch.manual_seed(1)
+    camera_cfg = dict(
+        depths=(3, 3, 9, 3), channels=(96, 192, 384, 768),
+        stem_patch_size=(2, 2), norm_out=True, out_indices=3,
+    )
+    triplane_cfg = dict(
+        depths=(3, 3, 9, 3), channels=(96, 192, 384, 768),
+        in_channels=128, stem_patch_size=(1, 1), norm_out=True,
+        out_indices=3,
+    )
+    tm = TorchPointTriplaneOcc(camera_cfg, triplane_cfg)
+    tm.eval()
+    # randomize BN running stats so their importer mapping is load-bearing
+    gen = torch.Generator().manual_seed(7)
+    for m in tm.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.normal_(0.0, 0.5, generator=gen)
+            m.running_var.uniform_(0.5, 2.0, generator=gen)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, converted, skipped = convert_state_dict(sd)
+    assert all(
+        "norm3" in k or k.endswith("num_batches_tracked") for k in skipped
+    ), skipped
+    imported = split_collections(tree)
+
+    cfg = get_config("point_triplane_occ")["model"]
+    model = build_model(cfg)
+    batch = synthetic_batch(
+        1, point_budget=4096, with_occ=True, seed=5
+    )
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.key(0)}, b, deterministic=True
+        )
+    )(batch)
+    merged, n_ok, n_all = partial_load(
+        variables["params"], imported["params"]
+    )
+    assert n_ok == n_all, f"importer adopted {n_ok}/{n_all} params"
+    stats, s_ok, s_all = partial_load(
+        variables["batch_stats"], imported["batch_stats"]
+    )
+    assert s_ok == s_all, f"importer adopted {s_ok}/{s_all} batch_stats"
+    variables = {"params": merged, "batch_stats": stats}
+
+    with jax.default_matmul_precision("highest"):
+        logits, _, _ = jax.jit(
+            lambda v, b: model.apply(v, b, deterministic=True)
+        )(variables, batch)
+    ours = np.asarray(logits)  # (B, X, Y, Z, K)
+
+    b = jax.tree.map(np.asarray, batch)
+    pts = [
+        torch.from_numpy(b.points[i][b.points_valid[i]])
+        for i in range(b.points.shape[0])
+    ]
+    with torch.no_grad():
+        ref = tm(
+            img=torch.from_numpy(b.img).permute(0, 1, 4, 2, 3),
+            points=pts,
+            lidar2img=torch.from_numpy(b.lidar2img),
+            resize=torch.from_numpy(np.asarray(b.cam_aug.resize)),
+            crop=torch.from_numpy(np.asarray(b.cam_aug.crop)),
+            flip=np.asarray(b.cam_aug.flip),
+        )
+    theirs = ref.permute(0, 2, 3, 4, 1).numpy()
+
+    assert ours.shape == theirs.shape == (1, 99, 99, 16, 5)
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)

@@ -115,6 +115,16 @@ class ConvNeXt(nn.Module):
     def forward(self, x):
         return self.run(x, 0, 4)
 
+    def forward_all(self, x):
+        """out_all_scale mode (mask_convnext.py forward with
+        out_all_scale=True): all 4 stage outputs, fine->coarse."""
+        outs = []
+        for i in range(4):
+            x = self._down(i, x)
+            x = self.stages[i](x)
+            outs.append(x)
+        return outs
+
 
 class MiTAttention(nn.Module):
     """SegFormer attention, sr_ratio=1 case (necks/mit.py:84-156)."""
@@ -314,6 +324,279 @@ class JointEncoder(nn.Module):
             B, N, -1, *image_features.shape[-2:]
         )
         return range_features, image_features, rc
+
+
+class ConvModule(nn.Module):
+    """mmcv ConvModule with BN2d + ReLU (the point-family FPN config,
+    ``configs/point_triplane_occ.py:66-81``).  State keys ``conv.*`` /
+    ``bn.*`` match mmcv's."""
+
+    def __init__(self, cin, cout, k, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, padding=padding, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class GeneralizedLSSFPN(nn.Module):
+    """necks/fpn.py:8-121 with the shipped config (start 0, end -1,
+    align_corners=False)."""
+
+    def __init__(self, in_channels=(96, 192, 384, 768), out_channels=96):
+        super().__init__()
+        self.lateral_convs = nn.ModuleList()
+        self.fpn_convs = nn.ModuleList()
+        end = len(in_channels) - 1
+        for i in range(end):
+            cin = in_channels[i] + (
+                in_channels[i + 1] if i == end - 1 else out_channels
+            )
+            self.lateral_convs.append(ConvModule(cin, out_channels, 1))
+            self.fpn_convs.append(
+                ConvModule(out_channels, out_channels, 3, padding=1)
+            )
+
+    def forward(self, inputs):
+        laterals = list(inputs)
+        for i in range(len(laterals) - 2, -1, -1):
+            x = F.interpolate(
+                laterals[i + 1], size=laterals[i].shape[2:],
+                mode="bilinear", align_corners=False,
+            )
+            laterals[i] = torch.cat([laterals[i], x], dim=1)
+            laterals[i] = self.lateral_convs[i](laterals[i])
+            laterals[i] = self.fpn_convs[i](laterals[i])
+        return laterals[0]
+
+
+class PointTriplaneProjector(nn.Module):
+    """point_triplane_projector.py:12-117 restated without spconv /
+    torch_scatter:
+
+    * ``torch_scatter.scatter_max`` -> ``Tensor.scatter_reduce_(amax,
+      include_self=False)`` over unique voxel ids;
+    * ``SparseConvTensor`` + ``SparseMaxPool3d`` + ``.dense()`` ->
+      densify active voxels to -inf-filled grids, dense ``max_pool3d``,
+      then 0 where a window had no active voxel (sparse pooling pools
+      over ACTIVE sites only; fully-empty windows densify to 0);
+    * the randperm shuffle is dropped: it only randomized scatter-max
+      tie-breaking, and max is order-invariant.
+    """
+
+    def __init__(self, grid_size=(128, 128, 80), in_channels=5,
+                 out_channels=128, base_channels=128, split=(25, 25, 20)):
+        super().__init__()
+        self.grid_size = grid_size
+        self.split = split
+        self.point_mlp = nn.Sequential(
+            nn.BatchNorm1d(in_channels),
+            nn.Linear(in_channels, 64),
+            nn.BatchNorm1d(64),
+            nn.ReLU(),
+            nn.Linear(64, 128),
+            nn.BatchNorm1d(128),
+            nn.ReLU(),
+            nn.Linear(128, 256),
+            nn.BatchNorm1d(256),
+            nn.ReLU(),
+            nn.Linear(256, out_channels),
+        )
+        self.reduce_cam_channels = nn.Linear(768, out_channels)
+        cins = [int(base_channels * s) for s in split]
+        cout = int(base_channels)
+        self.mlp_xy = nn.Sequential(
+            nn.Linear(cins[2], cout), nn.ReLU(), nn.Linear(cout, cout)
+        )
+        self.mlp_yz = nn.Sequential(
+            nn.Linear(cins[0], cout), nn.ReLU(), nn.Linear(cout, cout)
+        )
+        self.mlp_xz = nn.Sequential(
+            nn.Linear(cins[1], cout), nn.ReLU(), nn.Linear(cout, cout)
+        )
+
+    def forward(self, points, grid_ind, cam_point_features):
+        X, Y, Z = self.grid_size
+        sx, sy, sz = self.split
+
+        cat_pt_ind, cat_pt_fea = [], []
+        for b in range(len(grid_ind)):
+            cat_pt_ind.append(F.pad(grid_ind[b], (1, 0), value=b))
+            cat_pt_fea.append(points[b][:, 0:5])
+        cat_pt_ind = torch.cat(cat_pt_ind, dim=0)
+        cat_pt_fea = torch.cat(cat_pt_fea, dim=0)
+        cat_cam = self.reduce_cam_channels(
+            torch.cat(cam_point_features, dim=0)
+        )
+
+        unq, unq_inv = torch.unique(
+            cat_pt_ind, return_inverse=True, dim=0
+        )
+        unq = unq.long()
+        feats = self.point_mlp(cat_pt_fea) + cat_cam
+        C = feats.shape[1]
+        pooled = torch.full((unq.shape[0], C), -torch.inf)
+        pooled.scatter_reduce_(
+            0, unq_inv[:, None].expand(-1, C), feats, "amax",
+            include_self=False,
+        )
+
+        B = int(unq[-1, 0]) + 1
+        dense = torch.full((B, C, X, Y, Z), -torch.inf)
+        dense[unq[:, 0], :, unq[:, 1], unq[:, 2], unq[:, 3]] = pooled
+
+        def pool(t, kernel):
+            out = F.max_pool3d(t, kernel_size=kernel, stride=kernel)
+            return torch.where(torch.isinf(out), torch.zeros(()), out)
+
+        xy = pool(dense, (1, 1, Z // sz))  # (B, C, X, Y, sz)
+        yz = pool(dense, (X // sx, 1, 1))  # (B, C, sx, Y, Z)
+        xz = pool(dense, (1, Y // sy, 1))  # (B, C, X, sy, Z)
+
+        tpv_xy = self.mlp_xy(
+            xy.permute(0, 2, 3, 4, 1).flatten(start_dim=3)
+        ).permute(0, 3, 1, 2)
+        tpv_yz = self.mlp_yz(
+            yz.permute(0, 3, 4, 2, 1).flatten(start_dim=3)
+        ).permute(0, 3, 1, 2)
+        tpv_xz = self.mlp_xz(
+            xz.permute(0, 2, 4, 3, 1).flatten(start_dim=3)
+        ).permute(0, 3, 1, 2)
+        return [tpv_xy, tpv_yz, tpv_xz]
+
+
+class PointTriplaneOcc(nn.Module):
+    """point_triplane_occ.py:22-440 train-branch forward (loss left to
+    caller).  Submodule attribute names match the reference state_dict."""
+
+    def __init__(
+        self,
+        camera_cfg,
+        triplane_cfg,
+        grid_size=(128, 128, 80),
+        num_classes=5,
+        occ_range=(-25, -25, -5, 25, 25, 3),
+        voxel_size=(0.5, 0.5, 0.5),
+        triplane_range=(-25, -25, -5, 25, 25, 3),
+        triplane_voxel_size=(0.4, 0.4, 0.1),
+        image_hw=(256, 512),
+    ):
+        super().__init__()
+        self.point_triplane_projector = PointTriplaneProjector(grid_size)
+        self.camera_encoder = ConvNeXt(**camera_cfg)
+        self.triplane_encoder = ConvNeXt(**triplane_cfg)
+        self.fpn = GeneralizedLSSFPN()
+        self.decoder = Mlp(96, num_classes)
+        self.grid_size = grid_size
+        self.occ_range = occ_range
+        self.voxel_size = voxel_size
+        self.triplane_range = triplane_range
+        self.triplane_voxel_size = triplane_voxel_size
+        self.image_hw = image_hw
+        self.occ_bounds, self.ref_3d = TriplaneOcc.roi(self)
+
+    def voxelize_points(self, points):
+        """point_triplane_occ.py:133-161 (strict in-range crop)."""
+        tr = self.triplane_range
+        cropped, grid_ind = [], []
+        for pts in points:
+            m = (
+                (pts[..., 0] > tr[0]) & (pts[..., 0] < tr[3])
+                & (pts[..., 1] > tr[1]) & (pts[..., 1] < tr[4])
+                & (pts[..., 2] > tr[2]) & (pts[..., 2] < tr[5])
+            )
+            p = pts[m]
+            vi = torch.zeros((p.shape[0], 3))
+            for d in range(3):
+                vi[:, d] = (p[:, d] - tr[d]) / self.triplane_voxel_size[d]
+            cropped.append(p)
+            grid_ind.append(vi.int())
+        return cropped, grid_ind
+
+    def point_to_cam(self, points, img_features, lidar2img,
+                     resize, crop, flip):
+        """point_triplane_occ.py:163-244 verbatim (incl. the identity
+        rotation and the swapped (row, col) grid normalization quirk)."""
+        H, W = self.image_hw
+        out = []
+        for i, pts in enumerate(points):
+            pf = torch.zeros((pts.shape[0], img_features.shape[2]))
+            hom = torch.cat(
+                (pts[:, 0:3], torch.ones_like(pts[..., :1])), -1
+            )
+            cam_points = torch.einsum("cij,hj->chi", lidar2img[i], hom)
+            cam_points = cam_points[..., 0:2] / torch.clamp(
+                cam_points[..., 2:3], min=1e-5
+            )
+            for c in range(lidar2img.shape[1]):
+                coor = cam_points[c].clone()
+                coor[:, :2] = coor[:, :2] * resize[i, c]
+                coor[:, 0] -= crop[i, c, 0]
+                coor[:, 1] -= crop[i, c, 1]
+                if flip[i, c]:
+                    coor[:, 0] = W - coor[:, 0]
+                coor[:, 0] -= W / 2.0
+                coor[:, 1] -= H / 2.0
+                h = 0.0
+                rot = coor.new_tensor(
+                    [[math.cos(h), math.sin(h)],
+                     [-math.sin(h), math.cos(h)]]
+                )
+                coor[:, :2] = torch.matmul(rot, coor[:, :2].T).T
+                coor[:, 0] += W / 2.0
+                coor[:, 1] += H / 2.0
+                valid = (
+                    (coor[:, 1] < H) & (coor[:, 0] < W)
+                    & (coor[:, 1] >= 0) & (coor[:, 0] >= 0)
+                )
+                vc = coor[valid, :]
+                vc[:, [0, 1]] = vc[:, [1, 0]]
+                vc[:, 0] = 2 * vc[:, 0] / H - 1
+                vc[:, 1] = 2 * vc[:, 1] / W - 1
+                feats = F.grid_sample(
+                    img_features[i][c][None], vc[None, :, None]
+                ).squeeze(0).squeeze(-1)
+                pf[valid] += feats.permute(1, 0)
+            out.append(pf)
+        return out
+
+    def sample_points_triplane(self, triplane, points):
+        """point_triplane_occ.py:409-440 — per-axis grid_size
+        normalization, plane-axis pairing quirk included."""
+        vc = torch.zeros_like(points)
+        for d in range(3):
+            vc[..., d] = (
+                points[..., d] - self.triplane_range[d]
+            ) / self.triplane_voxel_size[d]
+            vc[..., d] = vc[..., d] / (self.grid_size[d] / 2) - 1
+        b, h, w, d, p = vc.shape
+        vc = vc.view(b, h, w * d, p)
+        xy = F.grid_sample(triplane[0], vc[..., [0, 1]], mode="bilinear",
+                           padding_mode="zeros")
+        yz = F.grid_sample(triplane[1], vc[..., [1, 2]], mode="bilinear",
+                           padding_mode="zeros")
+        xz = F.grid_sample(triplane[2], vc[..., [0, 2]], mode="bilinear",
+                           padding_mode="zeros")
+        return (xy + yz + xz).view(b, -1, h, w, d)
+
+    def forward(self, img, points, lidar2img, resize, crop, flip):
+        """point_triplane_occ.py:338-369 train branch."""
+        B, N, C, H, W = img.shape
+        ref = self.ref_3d.unsqueeze(0).expand(len(points), -1, -1, -1, -1)
+        points, grid_ind = self.voxelize_points(points)
+        feats = self.camera_encoder(img.reshape(B * N, C, H, W))
+        feats = feats.reshape(B, N, *feats.shape[1:])
+        cam_pt = self.point_to_cam(
+            points, feats, lidar2img, resize, crop, flip
+        )
+        tpv = self.point_triplane_projector(points, grid_ind, cam_pt)
+        triplane = []
+        for tp in tpv:
+            scales = self.triplane_encoder.forward_all(tp)
+            triplane.append(self.fpn(scales))
+        voxel_feat = self.sample_points_triplane(triplane, ref)
+        return self.decoder(voxel_feat)
 
 
 class Mlp(nn.Module):

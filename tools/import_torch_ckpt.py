@@ -65,7 +65,12 @@ def map_torch_key(key: str):
 
     # dead registered-but-unapplied encoder out-norms
     # (mask_convnext.py:201-205 registers norm{i}; forward never uses it)
-    if re.search(r"(lidar_encoder|camera_encoder)\.norm\d+\.", k):
+    if re.search(
+        r"(lidar_encoder|camera_encoder|triplane_encoder)\.norm\d+\.", k
+    ):
+        return None, None
+    # BN bookkeeping counter, no numeric role
+    if k.endswith("num_batches_tracked"):
         return None, None
     # dead built-but-unused MAE projections (triplane.py:79-80)
     if ".proj_cam_downsample." in k or ".proj_range_downsample." in k:
@@ -171,6 +176,62 @@ def map_torch_key(key: str):
         if mod in ln_mods:
             return f"{head}/{'scale' if wb == 'weight' else 'bias'}", None
 
+    # ---- PointTriplaneProjector (point_triplane_projector.py:30-65) ----
+    m = re.search(
+        r"point_mlp\.(\d+)\.(weight|bias|running_mean|running_var)$", k
+    )
+    if m:
+        seq, leaf = int(m.group(1)), m.group(2)
+        head = k[: m.start()].replace(".", "/")
+        # Sequential: 0 BN(in), 1 Linear, 2 BN, 3 ReLU, 4 Linear, 5 BN,
+        # 6 ReLU, 7 Linear, 8 BN, 9 ReLU, 10 Linear
+        bn_names = {0: "bn_in", 2: "bn0", 5: "bn1", 8: "bn2"}
+        fc_names = {1: "fc0", 4: "fc1", 7: "fc2", 10: "fc_out"}
+        if seq in bn_names:
+            sub = bn_names[seq]
+            if leaf in ("running_mean", "running_var"):
+                stat = "mean" if leaf == "running_mean" else "var"
+                return f"batch_stats/{head}{sub}/{stat}", None
+            flx = "scale" if leaf == "weight" else "bias"
+            return f"{head}{sub}/{flx}", None
+        sub = fc_names[seq]
+        tf = _linear if leaf == "weight" else None
+        flx = "kernel" if leaf == "weight" else "bias"
+        return f"{head}{sub}/{flx}", tf
+    m = re.search(r"reduce_cam_channels\.(weight|bias)$", k)
+    if m:
+        head = k[: m.start()].replace(".", "/")
+        tf = _linear if m.group(1) == "weight" else None
+        flx = "kernel" if m.group(1) == "weight" else "bias"
+        return f"{head}reduce_cam_channels/{flx}", tf
+    m = re.search(r"(mlp_xy|mlp_yz|mlp_xz)\.([02])\.(weight|bias)$", k)
+    if m:
+        head = k[: m.start()].replace(".", "/")
+        fc = "fc1" if m.group(2) == "0" else "fc2"
+        tf = _linear if m.group(3) == "weight" else None
+        flx = "kernel" if m.group(3) == "weight" else "bias"
+        return f"{head}{m.group(1)}_{fc}/{flx}", tf
+
+    # ---- GeneralizedLSSFPN (necks/fpn.py:54-90): mmcv ConvModule =
+    # conv (no bias) + BN2d + ReLU ----
+    m = re.search(
+        r"(lateral_convs|fpn_convs)\.(\d+)\.(conv|bn)\."
+        r"(weight|bias|running_mean|running_var)$",
+        k,
+    )
+    if m:
+        fam = "lateral" if m.group(1) == "lateral_convs" else "fpn"
+        i, sub, leaf = m.group(2), m.group(3), m.group(4)
+        head = k[: m.start()].replace(".", "/")
+        mod = f"{head}{fam}{i}"
+        if sub == "conv":
+            return f"{mod}/conv/kernel", _conv
+        if leaf in ("running_mean", "running_var"):
+            stat = "mean" if leaf == "running_mean" else "var"
+            return f"batch_stats/{mod}/bn/{stat}", None
+        flx = "scale" if leaf == "weight" else "bias"
+        return f"{mod}/bn/{flx}", None
+
     # ---- InterpNet (interpnet.py:35-38) ----
     m = re.search(r"mlp_layers\.(\d+)\.(weight|bias)$", k)
     if m:
@@ -191,7 +252,11 @@ def map_torch_key(key: str):
 def convert_state_dict(sd: dict) -> dict:
     """torch state_dict -> nested flax-style param dict (+ report).
 
-    Returns ``(tree, converted_keys, skipped_keys)``.
+    Returns ``(tree, converted_keys, skipped_keys)``.  BN running stats
+    map to flax's ``batch_stats`` collection: those land under
+    ``tree["batch_stats"]`` (absent if the model has none); everything
+    else is the params tree itself (kept flat at top level so existing
+    params-only callers are unaffected).
     """
     tree: dict = {}
     converted, skipped = [], []
@@ -210,6 +275,16 @@ def convert_state_dict(sd: dict) -> dict:
         node[parts[-1]] = arr
         converted.append((key, path))
     return tree, converted, skipped
+
+
+def split_collections(tree: dict) -> dict:
+    """``convert_state_dict`` output -> flax variables dict
+    ``{"params": ..., "batch_stats": ...?}``."""
+    stats = tree.pop("batch_stats", None)
+    out = {"params": tree}
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 def main():
@@ -233,9 +308,12 @@ def main():
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(args.out_dir), "imported")
-    ocp.StandardCheckpointer().save(
-        path, {"params": tree}, force=True
-    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, split_collections(tree), force=True)
+    # the save is async — without this the interpreter can exit before
+    # the write lands and the "written" checkpoint never exists on disk
+    ckptr.wait_until_finished()
+    ckptr.close()
     print(f"wrote {path}")
 
 

@@ -183,6 +183,14 @@ def main():
             import dataclasses
 
             state = dataclasses.replace(state, params=merged)
+            # imported torch checkpoints carry BN running stats
+            # (point family); adopt them the same shape-tolerant way
+            if src.get("batch_stats") and state.batch_stats:
+                stats, s_ok, s_all = ckpt.partial_load(
+                    state.batch_stats, src["batch_stats"]
+                )
+                print(f"batch_stats restore: adopted {s_ok}/{s_all}")
+                state = dataclasses.replace(state, batch_stats=stats)
         import dataclasses as _dc
 
         optimizer = make_optimizer(cfg, total_steps, state.params, freeze)
