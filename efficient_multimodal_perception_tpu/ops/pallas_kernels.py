@@ -477,7 +477,7 @@ def sample_triplane_auto(triplane, points, pc_range, voxel_size):
 # ---------------------------------------------------------------------------
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *, scale):
     """Exact softmax attention for one (batch*head, q-block).
 
     K/V for the whole 4096-token sequence fit in VMEM (1.5 MB each in
@@ -486,7 +486,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
     path's ``jax.nn.softmax(f32)``), one NN matmul for the output.  The
     (bq, N) f32 score tile never leaves VMEM, which is the entire win
     over the einsum formulation (reference attention:
-    ``mmdet3d/models/necks/mit.py:74-156``).
+    ``mmdet3d/models/necks/mit.py:74-156``).  The per-row logsumexp is
+    emitted for the fused backward (flash-bwd recompute).
     """
     q = q_ref[0]  # (bq, hd)
     k = k_ref[0]  # (N, hd)
@@ -496,12 +497,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
         preferred_element_type=jnp.float32,
     ) * scale  # (bq, N) f32
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
     out = jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     out_ref[0] = out.astype(out_ref.dtype)
+    lse_ref[0] = (m + jnp.log(denom))[:, 0]
 
 
 def _attn_xla(q, k, v, scale):
@@ -514,21 +517,139 @@ def _attn_xla(q, k, v, scale):
 def attention_pallas(q, k, v, scale, interpret=False):
     """Fused softmax attention over ``(G, N, hd)`` flattened heads.
 
-    Forward runs the Pallas kernel; the VJP replays the XLA einsum math
-    (numerically equivalent), mirroring ``convnext_block_fused``'s
-    strategy — frozen-encoder paths never reach the backward.
+    Forward runs the Pallas kernel; the VJP is a fused flash-style
+    backward (two Pallas kernels: dQ over q-blocks, dK/dV over
+    k-blocks) that recomputes score tiles in VMEM from the saved
+    per-row logsumexp — the ``(G, N, N)`` f32 score tensor never
+    touches HBM in either direction (the r2 XLA-replay backward
+    materialized it, ~268 MB at the neck's pretrain shapes).
     """
-    return _attn_impl(q, k, v, scale, interpret)
+    out, _ = _attn_impl(q, k, v, scale, interpret)
+    return out
 
 
 def _attn_fwd(q, k, v, scale, interpret):
-    return _attn_impl(q, k, v, scale, interpret), (q, k, v)
+    out, lse = _attn_impl(q, k, v, scale, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _attn_bwd(scale, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _attn_xla(a, b, c, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    G, N, hd = q.shape
+    # D_i = dO_i . O_i (softmax-jacobian row term), computed in XLA
+    D = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (G, N)
+
+    blk = 128
+    while N % blk:
+        blk //= 2
+    kern_q = functools.partial(_attn_bwd_dq_kernel, scale=scale)
+    dq = pl.pallas_call(
+        kern_q,
+        grid=(G, N // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda gi, i: (gi, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda gi, i: (gi, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk, hd), lambda gi, i: (gi, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, N, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v, g, lse, D)
+
+    kern_kv = functools.partial(_attn_bwd_dkv_kernel, scale=scale)
+    dk, dv = pl.pallas_call(
+        kern_kv,
+        grid=(G, N // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda gi, i: (gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda gi, i: (gi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((G, N, hd), q.dtype)] * 2,
+        interpret=interpret,
+    )(k, v, q, g, lse, D)
+    return dq, dk, dv
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref,
+                        dq_ref, *, scale):
+    """dQ for one q-block: recompute p from (q, K, lse), then
+    ``dq = (p * (dO V^T - D)) * scale @ K``."""
+    q = q_ref[0]  # (bq, hd)
+    k = k_ref[0]  # (N, hd)
+    v = v_ref[0]
+    g = g_ref[0]  # (bq, hd)
+    lse = lse_ref[0]  # (bq,)
+    D = d_ref[0]  # (bq,)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.exp(s - lse[:, None])  # (bq, N)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, N)
+    ds = (p * (dp - D[:, None]) * scale).astype(k.dtype)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, d_ref,
+                         dk_ref, dv_ref, *, scale):
+    """dK/dV for one k-block: transposed score tile ``(bk, N)``
+    recomputed against ALL queries; no cross-step accumulators."""
+    k = k_ref[0]  # (bk, hd)
+    v = v_ref[0]
+    q = q_ref[0]  # (N, hd)
+    g = g_ref[0]  # (N, hd)
+    lse = lse_ref[0]  # (N,)
+    D = d_ref[0]  # (N,)
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bk, N) == S^T tile
+    pt = jnp.exp(st - lse[None, :])
+    dv = jnp.dot(
+        pt.astype(g.dtype), g, preferred_element_type=jnp.float32
+    )  # (bk, hd)
+    dpt = jax.lax.dot_general(
+        v, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, N)
+    dst = (pt * (dpt - D[None, :]) * scale).astype(q.dtype)
+    dk = jnp.dot(dst, q, preferred_element_type=jnp.float32)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 attention_pallas.defvjp(_attn_fwd, _attn_bwd)
@@ -564,10 +685,19 @@ def _attn_impl(q, k, v, scale, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, hd), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((G, N, hd), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, bq, hd), lambda g, i: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bq), lambda g, i: (g, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N, hd), q.dtype),
+            jax.ShapeDtypeStruct((G, N), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v)
 

@@ -138,15 +138,19 @@ def test_attention_pallas_interpret():
     ref = np.asarray(_attn_xla(q, k, v, scale))
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
-    def loss_pallas(q):
+    def loss_pallas(q, k, v):
         return (attention_pallas(q, k, v, scale, True) ** 2).mean()
 
-    def loss_ref(q):
+    def loss_ref(q, k, v):
         return (_attn_xla(q, k, v, scale) ** 2).mean()
 
-    gp = np.asarray(jax.grad(loss_pallas)(q))
-    gr = np.asarray(jax.grad(loss_ref)(q))
-    np.testing.assert_allclose(gp, gr, atol=1e-5)
+    # all three cotangents through the fused flash-style backward
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=f"d{name}"
+        )
 
 
 def test_post_epilogue_bwd_interpret():
