@@ -247,6 +247,8 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(main.get("samples_per_s", 0.0) / base, 3),
     }
+    if "error" in main:
+        result["error"] = main["error"]
     if main.get("flops", 0) > 0:
         result["mfu"] = round(
             main["flops"] / main["step_s"] / V5E_PEAK_FLOPS, 4

@@ -504,7 +504,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *, scale):
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     out_ref[0] = out.astype(out_ref.dtype)
-    lse_ref[0] = (m + jnp.log(denom))[:, 0]
+    # (bq, 1): a trailing singleton lane keeps the block shape legal on
+    # Mosaic ((1, bq) blocks of a (G, N) array are not — sublane dim 1)
+    lse_ref[0] = m + jnp.log(denom)
 
 
 def _attn_xla(q, k, v, scale):
@@ -536,10 +538,16 @@ def _attn_fwd(q, k, v, scale, interpret):
 def _attn_bwd(scale, interpret, res, g):
     q, k, v, out, lse = res
     G, N, hd = q.shape
-    # D_i = dO_i . O_i (softmax-jacobian row term), computed in XLA
+    # D_i = dO_i . O_i (softmax-jacobian row term), computed in XLA.
+    # Column form (G, N, 1) feeds the dQ kernel; row form (G, 1, N)
+    # feeds the dK/dV kernel (both block shapes are Mosaic-legal, a
+    # bare (1, blk) block of a (G, N) array is not).
     D = jnp.sum(
-        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )  # (G, N)
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # (G, N, 1)
+    lse_row = jnp.swapaxes(lse, 1, 2)  # (G, 1, N)
+    d_row = jnp.swapaxes(D, 1, 2)
 
     blk = 128
     while N % blk:
@@ -557,9 +565,9 @@ def _attn_bwd(scale, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda gi, i: (gi, i),
+            pl.BlockSpec((1, blk, 1), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda gi, i: (gi, i),
+            pl.BlockSpec((1, blk, 1), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -583,9 +591,9 @@ def _attn_bwd(scale, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda gi, i: (gi, 0),
+            pl.BlockSpec((1, 1, N), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda gi, i: (gi, 0),
+            pl.BlockSpec((1, 1, N), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -596,7 +604,7 @@ def _attn_bwd(scale, interpret, res, g):
         ],
         out_shape=[jax.ShapeDtypeStruct((G, N, hd), q.dtype)] * 2,
         interpret=interpret,
-    )(k, v, q, g, lse, D)
+    )(k, v, q, g, lse_row, d_row)
     return dq, dk, dv
 
 
@@ -608,18 +616,18 @@ def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, d_ref,
     k = k_ref[0]  # (N, hd)
     v = v_ref[0]
     g = g_ref[0]  # (bq, hd)
-    lse = lse_ref[0]  # (bq,)
-    D = d_ref[0]  # (bq,)
+    lse = lse_ref[0]  # (bq, 1) column
+    D = d_ref[0]  # (bq, 1) column
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    p = jnp.exp(s - lse[:, None])  # (bq, N)
+    p = jnp.exp(s - lse)  # (bq, N)
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, N)
-    ds = (p * (dp - D[:, None]) * scale).astype(k.dtype)
+    ds = (p * (dp - D) * scale).astype(k.dtype)
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
@@ -632,13 +640,13 @@ def _attn_bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, d_ref,
     v = v_ref[0]
     q = q_ref[0]  # (N, hd)
     g = g_ref[0]  # (N, hd)
-    lse = lse_ref[0]  # (N,)
-    D = d_ref[0]  # (N,)
+    lse = lse_ref[0]  # (1, N) row
+    D = d_ref[0]  # (1, N) row
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (bk, N) == S^T tile
-    pt = jnp.exp(st - lse[None, :])
+    pt = jnp.exp(st - lse)
     dv = jnp.dot(
         pt.astype(g.dtype), g, preferred_element_type=jnp.float32
     )  # (bk, hd)
@@ -646,7 +654,7 @@ def _attn_bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, lse_ref, d_ref,
         v, g, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bk, N)
-    dst = (pt * (dpt - D[None, :]) * scale).astype(q.dtype)
+    dst = (pt * (dpt - D) * scale).astype(q.dtype)
     dk = jnp.dot(dst, q, preferred_element_type=jnp.float32)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -691,12 +699,13 @@ def _attn_impl(q, k, v, scale, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bq), lambda g, i: (g, i), memory_space=pltpu.VMEM
+                (1, bq, 1), lambda g, i: (g, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, N, hd), q.dtype),
-            jax.ShapeDtypeStruct((G, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
