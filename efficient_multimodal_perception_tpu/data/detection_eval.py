@@ -142,21 +142,137 @@ def format_results(
     return path
 
 
+def quaternion_yaw(q) -> float:
+    """Yaw of the rotated x-axis (devkit ``quaternion_yaw``)."""
+    v = _rot_by_quat(np.asarray(q, np.float64), np.array([1.0, 0, 0]))
+    return float(np.arctan2(v[1], v[0]))
+
+
+def boxes_from_submission(results: dict, infos) -> list:
+    """Submission ``results`` dict -> global-frame ``nds.EvalBox`` list.
+
+    ``infos`` supplies the ego position (``ego2global_translation``)
+    per token for the devkit's class-range filtering.
+    """
+    from .nds import EvalBox
+
+    ego = {
+        i["token"]: np.asarray(i["ego2global_translation"], np.float64)
+        for i in infos
+    }
+    out = []
+    for token, dets in results.items():
+        for d in dets:
+            out.append(
+                EvalBox(
+                    sample_token=token,
+                    translation=np.asarray(d["translation"], np.float64),
+                    size=np.asarray(d["size"], np.float64),
+                    yaw=quaternion_yaw(d["rotation"]),
+                    velocity=np.asarray(d["velocity"], np.float64),
+                    name=d["detection_name"],
+                    score=float(d["detection_score"]),
+                    attribute_name=d.get("attribute_name", ""),
+                    ego_translation=ego.get(token),
+                )
+            )
+    return out
+
+
+def gt_boxes_from_info(info) -> list:
+    """Info-dict ground truth -> global-frame ``nds.EvalBox`` list.
+
+    The converter stores lidar-frame gravity centers, (w, l, h) dims,
+    the ``-yaw - pi/2`` yaw convention (``nuscenes_converter.py:201``),
+    and lidar-frame velocities; this replays the lidar->ego->global
+    chain the devkit's GT loader reads straight from the DB.  Attributes
+    ride in ``gt_attrs`` when the converter recorded them ("" otherwise,
+    degrading AAE to its maximum — same as an attribute-less class).
+    """
+    from .nds import EvalBox
+
+    l2e_q = np.asarray(info["lidar2ego_rotation"], np.float64)
+    l2e_t = np.asarray(info["lidar2ego_translation"], np.float64)
+    e2g_q = np.asarray(info["ego2global_rotation"], np.float64)
+    e2g_t = np.asarray(info["ego2global_translation"], np.float64)
+    attrs = info.get("gt_attrs")
+    num_pts = info.get("num_lidar_pts")
+    num_rpts = info.get("num_radar_pts")
+
+    out = []
+    gt = np.asarray(info["gt_boxes"], np.float64)
+    vel = np.asarray(info["gt_velocity"], np.float64)
+    for i in range(len(gt)):
+        center = _rot_by_quat(l2e_q, gt[i, :3]) + l2e_t
+        center = _rot_by_quat(e2g_q, center) + e2g_t
+        yaw_lidar = -gt[i, 6] - np.pi / 2
+        q = _quat_mul(e2g_q, _quat_mul(l2e_q, _yaw_quat(yaw_lidar)))
+        v = _rot_by_quat(l2e_q, np.array([vel[i, 0], vel[i, 1], 0.0]))
+        v = _rot_by_quat(e2g_q, v)
+        npts = -1
+        if num_pts is not None:
+            npts = int(num_pts[i])
+            if num_rpts is not None:
+                npts += int(num_rpts[i])
+        out.append(
+            EvalBox(
+                sample_token=info["token"],
+                translation=center,
+                size=gt[i, 3:6],
+                yaw=quaternion_yaw(q),
+                velocity=v[:2],
+                name=str(info["gt_names"][i]),
+                attribute_name="" if attrs is None else str(attrs[i]),
+                ego_translation=e2g_t,
+                num_pts=npts,
+            )
+        )
+    return out
+
+
+def evaluate_native(result_path: str, infos, class_names=None) -> dict:
+    """Devkit-free NDS/mAP on the submission JSON + info-dict GT.
+
+    Local rebuild of the metric the reference gets from ``NuScenesEval``
+    (``_evaluate_single`` :421-476) — see ``nds.py`` for the protocol
+    math.  Returns the same summary schema ``evaluate_nusc`` yields.
+    """
+    from . import nds
+
+    with open(result_path) as f:
+        results = json.load(f)["results"]
+    preds = boxes_from_submission(results, infos)
+    tokens = set(results)
+    gts = []
+    for info in infos:
+        if info["token"] in tokens and "gt_boxes" in info:
+            gts.extend(gt_boxes_from_info(info))
+    names = tuple(class_names) if class_names else tuple(nds.CLASS_RANGE)
+    metrics = nds.evaluate_detection(gts, preds, class_names=names)
+    metrics["detail"] = nds.summary_to_detail(metrics, names)
+    return metrics
+
+
 def evaluate_nusc(
     result_path: str,
     data_root: str,
     version: str = "v1.0-trainval",
     eval_set: str = "val",
+    infos=None,
 ) -> Optional[dict]:
     """Official NDS/mAP evaluation (``_evaluate_single`` :421-476).
 
-    Returns None (with a message) when the nuScenes devkit is absent.
+    Falls back to the local ``nds.py`` metric when the devkit is absent
+    and ``infos`` (with GT) were provided; else returns None.
     """
     try:
         from nuscenes import NuScenes
         from nuscenes.eval.detection.config import config_factory
         from nuscenes.eval.detection.evaluate import NuScenesEval
     except ImportError:
+        if infos is not None:
+            print("nuscenes devkit absent; using native nds.py metric")
+            return evaluate_native(result_path, infos)
         print("nuscenes devkit not available; wrote submission JSON only")
         return None
 

@@ -206,6 +206,16 @@ def create_nuscenes_infos(
             info["num_lidar_pts"] = np.array(
                 [a["num_lidar_pts"] for a in annos]
             )
+            # attribute names for the native NDS metric's AAE term
+            # (the devkit's GT loader reads these from the DB at eval
+            # time; carrying them in the infos keeps eval devkit-free)
+            info["gt_attrs"] = np.array(
+                [
+                    nusc.get("attribute", a["attribute_tokens"][0])["name"]
+                    if a.get("attribute_tokens") else ""
+                    for a in annos
+                ]
+            )
             info["num_radar_pts"] = np.array(
                 [a["num_radar_pts"] for a in annos]
             )

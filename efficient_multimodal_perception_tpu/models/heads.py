@@ -114,6 +114,11 @@ def masked_mse_loss(pred, target, mask):
 
 
 class _ResBlock(nn.Module):
+    """torchvision ``BasicBlock`` (the smp resnet34 encoder's unit):
+    conv-bn-relu-conv-bn + (1x1 conv + bn) shortcut when the shape
+    changes, final relu.  Param names mirror torch's for the importer
+    (``conv1/bn1/conv2/bn2/downsample``)."""
+
     dim: int
     stride: int = 1
     dtype: Any = jnp.float32
@@ -123,31 +128,45 @@ class _ResBlock(nn.Module):
         r = x
         y = nn.Conv(
             self.dim, (3, 3), strides=self.stride, padding=1, use_bias=False,
-            dtype=self.dtype,
+            dtype=self.dtype, name="conv1",
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="bn1"
+        )(y)
         y = nn.relu(y)
         y = nn.Conv(
-            self.dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype
+            self.dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="conv2",
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="bn2"
+        )(y)
         if r.shape != y.shape:
             r = nn.Conv(
                 self.dim, (1, 1), strides=self.stride, use_bias=False,
-                dtype=self.dtype,
+                dtype=self.dtype, name="down_conv",
             )(x)
-            r = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(r)
+            r = nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype,
+                name="down_bn",
+            )(r)
         return nn.relu(y + r)
 
 
 class ElevUNetHead(nn.Module):
     """Elevation head: Conv3d collapse + resnet34-style U-Net.
 
-    Functional equivalent of ``unet.py:19-63`` (which wraps
+    Weight-mappable restatement of ``unet.py:19-63`` (which wraps
     ``segmentation_models_pytorch.Unet(resnet34)``): a 3x3x3 conv
     collapses features to 1 channel, the height axis becomes the channel
-    axis, the map is padded to 128x128, decoded by an encoder-decoder
-    with resnet34 stage depths (3,4,6,3), and cropped back.
+    axis, the map is padded to 128x128, run through the smp topology —
+    resnet34 encoder (stem conv7x7/s2 + maxpool + stages (3,4,6,3)),
+    UnetDecoder with channels (256,128,64,32,16), nearest 2x upsampling,
+    skips [layer3, layer2, layer1, stem-relu] (smp drops the identity
+    skip: the LAST decoder block concatenates nothing), Conv2dReLU pairs
+    (conv3x3 no-bias + BN + ReLU), 3x3 segmentation head — then cropped
+    back.  Verified against the torch restatement in
+    ``tests/torch_ref.py`` on shared weights.
     """
 
     input_dim: int
@@ -190,9 +209,11 @@ class ElevUNetHead(nn.Module):
                 )(h, train)
             feats.append(h)
 
-        # U-Net decoder: upsample + skip concat + double conv
+        # U-Net decoder: upsample + skip concat + double conv.  smp's
+        # UnetDecoder drops the identity (full-res input) skip, so the
+        # last block upsamples without concatenation.
         dec_dims = (256, 128, 64, 32, 16)
-        skips = feats[-2::-1]  # deepest-1 ... input
+        skips = feats[-2:0:-1]  # [enc2, enc1, enc0, stem] — no input skip
         for i, dim in enumerate(dec_dims):
             bh, bw = h.shape[1] * 2, h.shape[2] * 2
             h = jax.image.resize(

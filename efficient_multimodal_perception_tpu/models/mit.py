@@ -258,9 +258,12 @@ class MixVisionTransformer(nn.Module):
             x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
             x = nn.relu(x)
             # torch ConvTranspose2d(3, s=2, p=1, output_padding=1) doubles
-            # the size; flax equivalent is SAME padding
+            # the size, padding the dilated input (k-1-p, k-1-p+op) =
+            # (1, 2) per axis.  flax "SAME" resolves to the MIRRORED
+            # (2, 1) at k=3/s=2, shifting the map one pixel — explicit
+            # padding keeps torch parity (test_conv_transpose_import_parity).
             x = nn.ConvTranspose(
-                256, (3, 3), strides=(2, 2), padding="SAME",
+                256, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
                 dtype=self.dtype, name="conv_transpose",
             )(x)
             x = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)

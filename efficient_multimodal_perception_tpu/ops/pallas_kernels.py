@@ -841,6 +841,178 @@ def _post_bwd_kernel(
         dgamma_ref[:] = acc_vec[4:5, :C]
 
 
+def _post_bwd_emit_kernel(
+    y_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    gamma_ref, dy_ref, z_ref, h_ref, dhpre_ref, dlns_ref, dlnb_ref,
+    db1_ref, db2_ref, dgamma_ref, *acc,
+):
+    """``_post_bwd_kernel`` for wide stages (C=768): instead of
+    accumulating the (C, 4C)/(4C, C) weight grads in VMEM (9.4 MB each
+    — they OOM'd the scoped budget), emit the recomputed ``z``, ``h``
+    and ``dhpre`` row blocks so the caller forms ``dw1 = z^T dhpre`` /
+    ``dw2 = h^T (g*gamma)`` as plain MXU matmuls in XLA.  The small
+    vector grads still accumulate in a (8, C4) scratch.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C = y_ref.shape[-1]
+
+    yf = y_ref[:].astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    zhat = (yf - mu) * rstd
+    lns = lns_ref[:].astype(jnp.float32)
+    z = zhat * lns + lnb_ref[:].astype(jnp.float32)
+
+    dt = w1_ref.dtype
+    zc = z.astype(dt)
+    hpre = jnp.dot(zc, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    phi_c = 0.5 * (1.0 + _erf_as(hpre * 0.7071067811865476))
+    h = (hpre * phi_c).astype(dt)
+    opre = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    opre = opre + b2_ref[:].astype(jnp.float32)
+
+    g = g_ref[:].astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32)
+    do = g * gamma
+    doc = do.astype(dt)
+
+    db2_p = jnp.sum(do, axis=0, keepdims=True)
+    dh = jnp.dot(
+        doc, w2_ref[:].T, preferred_element_type=jnp.float32
+    )
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * hpre * hpre)
+    dhpre = dh * (phi_c + hpre * pdf)
+    dhprec = dhpre.astype(dt)
+    db1_p = jnp.sum(dhpre, axis=0, keepdims=True)
+    dz = jnp.dot(
+        dhprec, w1_ref[:].T, preferred_element_type=jnp.float32
+    )
+    dlns_p = jnp.sum(dz * zhat, axis=0, keepdims=True)
+    dlnb_p = jnp.sum(dz, axis=0, keepdims=True)
+    dzhat = dz * lns
+    m1 = jnp.mean(dzhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dzhat * zhat, axis=-1, keepdims=True)
+    dy = rstd * (dzhat - m1 - zhat * m2)
+    dy_ref[:] = dy.astype(dy_ref.dtype)
+    z_ref[:] = zc
+    h_ref[:] = h
+    dhpre_ref[:] = dhprec
+    dgamma_p = jnp.sum(g * opre, axis=0, keepdims=True)
+
+    C4 = w1_ref.shape[-1]
+    (acc_vec,) = acc
+
+    def padrow(v):
+        return jnp.concatenate(
+            [v, jnp.zeros((1, C4 - v.shape[1]), v.dtype)], axis=1
+        )
+
+    vec = jnp.concatenate(
+        [
+            db1_p,
+            padrow(db2_p),
+            padrow(dlns_p),
+            padrow(dlnb_p),
+            padrow(dgamma_p),
+            jnp.zeros((3, C4), jnp.float32),
+        ],
+        axis=0,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        acc_vec[:] = vec
+
+    @pl.when(i > 0)
+    def _():
+        acc_vec[:] = acc_vec[:] + vec
+
+    @pl.when(i == n - 1)
+    def _():
+        db1_ref[:] = acc_vec[0:1, :]
+        db2_ref[:] = acc_vec[1:2, :C]
+        dlns_ref[:] = acc_vec[2:3, :C]
+        dlnb_ref[:] = acc_vec[3:4, :C]
+        dgamma_ref[:] = acc_vec[4:5, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def post_epilogue_bwd_wide(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
+                           interpret=False):
+    """Fused epilogue backward for C>384 stages (VERDICT r2 #2a).
+
+    One Pallas pass produces ``dy``, the vector grads, and the
+    recomputed ``(z, h, dhpre)`` activations; the (C, 4C) weight grads
+    are then two MXU matmuls in XLA.  Requires ``gamma``.
+    """
+    M, C = y.shape
+    C4 = w1.shape[-1]
+    cap = max(128, 8_000_000 // (C4 * 24))
+    R = 1
+    while M % (R * 2) == 0 and R * 2 <= min(2048, cap):
+        R *= 2
+    dt = y.dtype
+
+    operands = [
+        y.reshape(M, C),
+        g.reshape(M, C),
+        ln_s.astype(jnp.float32),
+        ln_b.astype(jnp.float32),
+        w1.astype(dt),
+        b1.astype(jnp.float32),
+        w2.astype(dt),
+        b2.astype(jnp.float32),
+        gamma.astype(jnp.float32),
+    ]
+    specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            arg.shape, lambda i, nd=arg.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for arg in operands[2:]
+    ]
+    vec_shapes = [(1, C), (1, C), (1, C4), (1, C), (1, C)]
+    out_specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            shape, lambda i, nd=len(shape): (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for shape in vec_shapes
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((M, C), dt),   # dy
+        jax.ShapeDtypeStruct((M, C), dt),   # z
+        jax.ShapeDtypeStruct((M, C4), dt),  # h
+        jax.ShapeDtypeStruct((M, C4), dt),  # dhpre
+    ] + [jax.ShapeDtypeStruct(s, jnp.float32) for s in vec_shapes]
+
+    outs = pl.pallas_call(
+        _post_bwd_emit_kernel,
+        grid=(M // R,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((8, C4), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+    dy, z, h, dhpre, dlns, dlnb, db1, db2, dgamma = outs
+    doc = (g.reshape(M, C).astype(jnp.float32) * gamma).astype(dt)
+    dw1 = jnp.dot(z.T, dhpre, preferred_element_type=jnp.float32)
+    dw2 = jnp.dot(h.T, doc, preferred_element_type=jnp.float32)
+    return (dy, dlns[0], dlnb[0], dw1, db1[0], dw2, db2[0], dgamma[0])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def post_epilogue_bwd(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
                       interpret=False):
@@ -990,11 +1162,7 @@ def _epilogue_fwd(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
 
 def _epilogue_bwd(res, g):
     y, ln_s, ln_b, w1, b1, w2, b2, gamma = res
-    # C=768 stages: the in-kernel (C,4C)+(4C,C) f32 grad accumulators
-    # would exceed VMEM (9.4 MB each); their matmuls are MXU-efficient
-    # in plain XLA anyway, so replay there.  C<=384 fits (4.7 MB of
-    # accumulators + R=128 row blocks).
-    if gamma is None or y.shape[-1] > 384:
+    if gamma is None:
         _, vjp = jax.vjp(_xla_epilogue_math, *res)
         return vjp(g)
     shape = y.shape
@@ -1002,7 +1170,11 @@ def _epilogue_bwd(res, g):
     M = 1
     for d in shape[:-1]:
         M *= d
-    dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = post_epilogue_bwd(
+    # C<=384: in-kernel (C,4C)/(4C,C) accumulators fit scoped VMEM.
+    # C=768: they don't (9.4 MB each) — use the wide variant that emits
+    # (z, h, dhpre) and forms the weight grads as XLA MXU matmuls.
+    fn = post_epilogue_bwd if C <= 384 else post_epilogue_bwd_wide
+    dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = fn(
         y.reshape(M, C), g.reshape(M, C), ln_s, ln_b, w1, b1, w2, b2,
         gamma, interpret=jax.default_backend() != "tpu",
     )

@@ -64,8 +64,9 @@ def _build_world(root):
     rng = np.random.default_rng(0)
     tables = {k: {} for k in (
         "sample_data", "calibrated_sensor", "ego_pose", "scene", "log",
-        "sample", "sample_annotation",
+        "sample", "sample_annotation", "attribute",
     )}
+    tables["attribute"]["attr_parked"] = dict(name="vehicle.parked")
     samples, scenes = [], []
 
     tables["log"]["log0"] = dict(location="singapore-onenorth")
@@ -142,7 +143,8 @@ def _build_world(root):
 
         ann_tok = f"ann{s}"
         tables["sample_annotation"][ann_tok] = dict(
-            num_lidar_pts=12, num_radar_pts=0
+            num_lidar_pts=12, num_radar_pts=0,
+            attribute_tokens=["attr_parked"],
         )
         sample = dict(
             token=f"tok{s}", data=data, scene_token=scene_tok,
@@ -249,6 +251,7 @@ def test_converter_schema_and_loader_roundtrip(fake_devkit):
     assert info["gt_boxes"].shape == (1, 7)
     assert info["gt_names"][0] == "car"  # NameMapping applied
     assert info["gt_velocity"].shape == (1, 2)
+    assert info["gt_attrs"][0] == "vehicle.parked"
     assert info["valid_flag"].all()
     # weather regex: "Rain at Night" -> night+rain bits
     np.testing.assert_array_equal(info["weather"], [0, 1, 0, 1])

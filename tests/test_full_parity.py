@@ -33,6 +33,8 @@ from import_torch_ckpt import (  # noqa: E402
     split_collections,
 )
 from torch_ref import PointTriplaneOcc as TorchPointTriplaneOcc  # noqa: E402
+from torch_ref import TriplaneElev as TorchTriplaneElev  # noqa: E402
+from torch_ref import TriplaneMAE as TorchTriplaneMAE  # noqa: E402
 from torch_ref import TriplaneOcc as TorchTriplaneOcc  # noqa: E402
 
 from efficient_multimodal_perception_tpu.configs import get_config  # noqa: E402
@@ -143,6 +145,129 @@ def test_full_triplane_occ_parity():
     assert ours.shape == theirs.shape == (1, 99, 99, 16, 5)
     # f32 end-to-end; tolerance covers op-order drift across frameworks
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_full_mae_losses():
+    """Full-forward TriplaneMAE loss parity on shared weights
+    (VERDICT r2 #5): the pretrain path that *produces* the reference
+    checkpoints — encoder+neck -> full-res triplane readout -> camera
+    LAST-write scatter + MiT reconstruction heads -> masked patch-MSE
+    (``triplane.py:305-487``)."""
+    torch.manual_seed(2)
+    tm = TorchTriplaneMAE(LIDAR_CFG, CAMERA_CFG)
+    tm.eval()
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, converted, skipped = convert_state_dict(sd)
+    # dead: encoder out-norms + the unused proj_*_downsample convs
+    assert all(
+        "norm3" in k or "norm1" in k or "downsample" in k for k in skipped
+    ), skipped
+
+    cfg = get_config("triplane_range_cam")["model"]
+    model = build_model(cfg)
+    batch = synthetic_batch(1, point_budget=2048, with_occ=False, seed=9)
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.key(0)}, b, deterministic=True
+        )
+    )(batch)
+    merged, n_ok, n_all = partial_load(variables["params"], tree)
+    assert n_ok == n_all, f"importer adopted {n_ok}/{n_all} tensors"
+
+    with jax.default_matmul_precision("highest"):
+        losses = jax.jit(
+            lambda v, b: model.apply(
+                {"params": v}, b, deterministic=True
+            )
+        )(merged, batch)
+    ours = {k: float(v) for k, v in losses.items()}
+    assert set(ours) == {"camera_loss", "range_loss"}
+
+    b = jax.tree.map(np.asarray, batch)
+    with torch.no_grad():
+        ref = tm(
+            img=torch.from_numpy(b.img).permute(0, 1, 4, 2, 3),
+            range_image=torch.from_numpy(b.range_image).permute(0, 3, 1, 2),
+            range_points=torch.from_numpy(b.range_points),
+            lidar2img=torch.from_numpy(b.lidar2img),
+            resize=torch.from_numpy(np.asarray(b.cam_aug.resize)),
+            crop=torch.from_numpy(np.asarray(b.cam_aug.crop)),
+            flip=np.asarray(b.cam_aug.flip),
+        )
+    for key in ("camera_loss", "range_loss"):
+        np.testing.assert_allclose(
+            ours[key], float(ref[key]), rtol=2e-3, atol=2e-4,
+            err_msg=key,
+        )
+
+
+def test_full_triplane_elev_parity():
+    """Full-forward TriplaneElev parity on shared weights (VERDICT r2
+    #6): the smp ``Unet(resnet34)`` elevation decoder restated in torch
+    with smp state names (``torch_ref.SmpUnetResnet34``), its weights
+    transplanted into ``ElevUNetHead``, and the whole model — frozen
+    encoder/neck, (ys, xs, zs) reference grid, triplane_range-normalized
+    sampling (``triplane_elev.py:239-310``) — compared end-to-end."""
+    torch.manual_seed(3)
+    tm = TorchTriplaneElev(LIDAR_CFG, CAMERA_CFG)
+    tm.eval()
+    # randomize BN running stats so their importer mapping is load-bearing
+    gen = torch.Generator().manual_seed(11)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0.0, 0.5, generator=gen)
+            m.running_var.uniform_(0.5, 2.0, generator=gen)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, converted, skipped = convert_state_dict(sd)
+    assert all(
+        "norm3" in k or "norm1" in k or k.endswith("num_batches_tracked")
+        for k in skipped
+    ), skipped
+    imported = split_collections(tree)
+
+    cfg = get_config("triplane_elev")["model"]
+    model = build_model(cfg)
+    batch = synthetic_batch(
+        1, point_budget=2048, with_occ=False, with_elev=True, seed=13
+    )
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.key(0)}, b, deterministic=True
+        )
+    )(batch)
+    merged, n_ok, n_all = partial_load(
+        variables["params"], imported["params"]
+    )
+    assert n_ok == n_all, f"importer adopted {n_ok}/{n_all} params"
+    stats, s_ok, s_all = partial_load(
+        variables["batch_stats"], imported["batch_stats"]
+    )
+    assert s_ok == s_all, f"importer adopted {s_ok}/{s_all} batch_stats"
+    variables = {"params": merged, "batch_stats": stats}
+
+    with jax.default_matmul_precision("highest"):
+        pred, _ = jax.jit(
+            lambda v, b: model.apply(v, b, deterministic=True)
+        )(variables, batch)
+    ours = np.asarray(pred)  # (B, X, Y)
+
+    b = jax.tree.map(np.asarray, batch)
+    with torch.no_grad():
+        ref = tm(
+            img=torch.from_numpy(b.img).permute(0, 1, 4, 2, 3),
+            range_image=torch.from_numpy(b.range_image).permute(0, 3, 1, 2),
+            range_points=torch.from_numpy(b.range_points),
+            lidar2img=torch.from_numpy(b.lidar2img),
+            resize=torch.from_numpy(np.asarray(b.cam_aug.resize)),
+            crop=torch.from_numpy(np.asarray(b.cam_aug.crop)),
+            flip=np.asarray(b.cam_aug.flip),
+        )
+    theirs = ref[:, 0].numpy()  # (B, X, Y)
+
+    assert ours.shape == theirs.shape == (1, 100, 100)
+    np.testing.assert_allclose(ours, theirs, atol=1e-3, rtol=1e-3)
 
 
 def test_point_family_importer_key_mapping_units():

@@ -208,6 +208,44 @@ def test_post_epilogue_bwd_interpret():
         )
 
 
+def test_post_epilogue_bwd_wide_interpret():
+    """Wide-C (>384) fused epilogue backward — the variant that emits
+    (z, h, dhpre) and forms the weight grads as XLA matmuls — matches
+    jax.vjp of the XLA epilogue math, interpret mode."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _xla_epilogue_math,
+        post_epilogue_bwd_wide,
+    )
+
+    rng = np.random.default_rng(7)
+    M, C = 32, 512
+    y = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+    p = [
+        jnp.asarray(1 + rng.standard_normal(C).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        jnp.asarray(
+            (rng.standard_normal((C, 4 * C)) * 0.05).astype(np.float32)
+        ),
+        jnp.asarray(rng.standard_normal(4 * C).astype(np.float32) * 0.1),
+        jnp.asarray(
+            (rng.standard_normal((4 * C, C)) * 0.05).astype(np.float32)
+        ),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.01),
+    ]
+    g = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+    _, vjp = jax.vjp(_xla_epilogue_math, y, *p)
+    ref = vjp(g)
+    got = post_epilogue_bwd_wide(y, g, *p, interpret=True)
+    names = ("dy", "dlns", "dlnb", "dw1", "db1", "dw2", "db2", "dgamma")
+    for n, a, b in zip(names, got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=n
+        )
+
+
 def test_epilogue_fused_interpret():
     """Residual-free fused epilogue: values + grads vs XLA math."""
     import jax

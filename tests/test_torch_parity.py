@@ -152,3 +152,46 @@ def test_overlap_patch_embed_parity():
         ref = ln(y).numpy()
 
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_conv_transpose_import_parity():
+    """MiT-High upsampler convention check (VERDICT r2 Weak #6): torch
+    ``ConvTranspose2d(3, s=2, p=1, output_padding=1)`` vs flax
+    ``nn.ConvTranspose(strides=2, padding=SAME)`` under the importer's
+    permute+flip weight transform (``import_torch_ckpt._conv_transpose``)
+    — one wrong flip and MiT-High checkpoints import scrambled."""
+    import sys
+    sys.path.insert(0, "tools")
+    from import_torch_ckpt import _conv_transpose
+    import flax.linen as nn
+
+    rng = np.random.default_rng(5)
+    Cin, Cout, H, W = 5, 7, 9, 11
+    x = rng.standard_normal((2, H, W, Cin)).astype(np.float32)
+
+    tconv = torch.nn.ConvTranspose2d(
+        Cin, Cout, 3, stride=2, padding=1, output_padding=1
+    )
+    with torch.no_grad():
+        ref = (
+            tconv(t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        )
+    assert ref.shape == (2, 2 * H, 2 * W, Cout)
+
+    # same settings as the MiT-High upsampler (mit.py:262-268)
+    mod = nn.ConvTranspose(
+        Cout, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2))
+    )
+    params = {
+        "kernel": jnp.asarray(
+            _conv_transpose(tconv.weight.detach().numpy())
+        ),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(
+            jax.jit(lambda p, x: mod.apply({"params": p}, x))(
+                params, jnp.asarray(x)
+            )
+        )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

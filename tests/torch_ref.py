@@ -127,23 +127,33 @@ class ConvNeXt(nn.Module):
 
 
 class MiTAttention(nn.Module):
-    """SegFormer attention, sr_ratio=1 case (necks/mit.py:84-156)."""
+    """SegFormer attention (necks/mit.py:84-156 / the decoder's twin
+    ``dense_heads/mit_decoder.py:75-160`` with K/V spatial reduction)."""
 
-    def __init__(self, dim, num_heads):
+    def __init__(self, dim, num_heads, sr_ratio=1):
         super().__init__()
         self.num_heads = num_heads
+        self.sr_ratio = sr_ratio
         self.q = nn.Linear(dim, dim, bias=False)
         self.kv = nn.Linear(dim, 2 * dim, bias=False)
         self.proj = nn.Linear(dim, dim)
+        if sr_ratio > 1:
+            self.sr = nn.Conv2d(dim, dim, sr_ratio, stride=sr_ratio)
+            self.norm = nn.LayerNorm(dim)
 
-    def forward(self, x):
+    def forward(self, x, H=None, W=None):
         B, N, C = x.shape
         h = self.num_heads
         hd = C // h
         q = self.q(x).reshape(B, N, h, hd).permute(0, 2, 1, 3)
-        k, v = self.kv(x).chunk(2, dim=-1)
-        k = k.reshape(B, N, h, hd).permute(0, 2, 1, 3)
-        v = v.reshape(B, N, h, hd).permute(0, 2, 1, 3)
+        src = x
+        if self.sr_ratio > 1:
+            src = x.permute(0, 2, 1).reshape(B, C, H, W)
+            src = self.sr(src).reshape(B, C, -1).permute(0, 2, 1)
+            src = self.norm(src)
+        k, v = self.kv(src).chunk(2, dim=-1)
+        k = k.reshape(B, -1, h, hd).permute(0, 2, 1, 3)
+        v = v.reshape(B, -1, h, hd).permute(0, 2, 1, 3)
         attn = (q @ k.transpose(-2, -1)) * hd ** -0.5
         attn = attn.softmax(dim=-1)
         out = (attn @ v).permute(0, 2, 1, 3).reshape(B, N, C)
@@ -175,15 +185,15 @@ class MiTMlp(nn.Module):
 
 
 class MiTBlock(nn.Module):
-    def __init__(self, dim, num_heads, mlp_ratio=2):
+    def __init__(self, dim, num_heads, mlp_ratio=2, sr_ratio=1):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim)
-        self.attn = MiTAttention(dim, num_heads)
+        self.attn = MiTAttention(dim, num_heads, sr_ratio)
         self.norm2 = nn.LayerNorm(dim)
         self.mlp = MiTMlp(dim, int(dim * mlp_ratio))
 
     def forward(self, x, H, W):
-        x = x + self.attn(self.norm1(x))
+        x = x + self.attn(self.norm1(x), H, W)
         x = x + self.mlp(self.norm2(x), H, W)
         return x
 
@@ -191,9 +201,11 @@ class MiTBlock(nn.Module):
 class PatchEmbed(nn.Module):
     def __init__(self, in_chans, embed_dim, patch_size=1, stride=1):
         super().__init__()
+        if isinstance(patch_size, int):
+            patch_size = (patch_size, patch_size)
         self.proj = nn.Conv2d(
             in_chans, embed_dim, kernel_size=patch_size, stride=stride,
-            padding=patch_size // 2,
+            padding=(patch_size[0] // 2, patch_size[1] // 2),
         )
         self.norm = nn.LayerNorm(embed_dim)
 
@@ -735,3 +747,373 @@ class TriplaneOcc(nn.Module):
         ref = self.ref_3d.unsqueeze(0).expand(B, -1, -1, -1, -1)
         voxel_feat = self.sample_points_triplane(triplane, ref)
         return self.decoder(voxel_feat)
+
+
+class TorchBasicBlock(nn.Module):
+    """torchvision resnet ``BasicBlock`` (the smp resnet34 encoder
+    unit) with torchvision state names."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + identity)
+
+
+class SmpUnetResnet34(nn.Module):
+    """``segmentation_models_pytorch.Unet(encoder_name='resnet34',
+    encoder_weights=None, classes=1)`` restated with smp state names
+    (``encoder.conv1/bn1/layer{1..4}``, ``decoder.blocks.{i}.conv{1,2}``,
+    ``segmentation_head.0``) — the reference elevation decoder
+    (``dense_heads/unet.py:39-44``)."""
+
+    def __init__(self, in_channels):
+        super().__init__()
+        enc = nn.Module()
+        enc.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+        enc.bn1 = nn.BatchNorm2d(64)
+        enc.maxpool = nn.MaxPool2d(3, 2, 1)
+        dims = (64, 128, 256, 512)
+        for li, (depth, dim) in enumerate(zip((3, 4, 6, 3), dims)):
+            cin = 64 if li == 0 else dims[li - 1]
+            blocks = [
+                TorchBasicBlock(
+                    cin if j == 0 else dim, dim,
+                    stride=2 if (j == 0 and li > 0) else 1,
+                )
+                for j in range(depth)
+            ]
+            setattr(enc, f"layer{li + 1}", nn.Sequential(*blocks))
+        self.encoder = enc
+
+        def conv2drelu(cin, cout):
+            return nn.Sequential(
+                nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU(inplace=True),
+            )
+
+        dec = nn.Module()
+        dec.blocks = nn.ModuleList()
+        dec_dims = (256, 128, 64, 32, 16)
+        skip_dims = (256, 128, 64, 64, 0)
+        prev = 512
+        for i, dim in enumerate(dec_dims):
+            blk = nn.Module()
+            blk.conv1 = conv2drelu(prev + skip_dims[i], dim)
+            blk.conv2 = conv2drelu(dim, dim)
+            dec.blocks.append(blk)
+            prev = dim
+        self.decoder = dec
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(16, 1, 3, padding=1)
+        )
+
+    def forward(self, x):
+        e = self.encoder
+        stem = F.relu(e.bn1(e.conv1(x)))
+        h = e.maxpool(stem)
+        feats = [stem]
+        for li in range(4):
+            h = getattr(e, f"layer{li + 1}")(h)
+            feats.append(h)
+        # smp UnetDecoder: drop the identity skip, reverse, last block
+        # upsamples without a skip
+        skips = feats[-2::-1]  # [layer3, layer2, layer1, stem]
+        for i, blk in enumerate(self.decoder.blocks):
+            h = F.interpolate(h, scale_factor=2, mode="nearest")
+            if i < len(skips):
+                h = torch.cat([h, skips[i]], dim=1)
+            h = blk.conv2(blk.conv1(h))
+        return self.segmentation_head(h)
+
+
+class UnetElevHead(nn.Module):
+    """Reference elevation head (``dense_heads/unet.py:10-82``)."""
+
+    def __init__(self, input_dim=32, height_dim=80, pad=14):
+        super().__init__()
+        self.pad = pad
+        self.proj = nn.Sequential(
+            nn.Conv3d(input_dim, 1, 3, 1, 1, bias=False),
+            nn.ReLU(inplace=True),
+        )
+        self.decoder = SmpUnetResnet34(height_dim)
+
+    def forward(self, x):
+        x = self.proj(x).squeeze(1)
+        x = x.permute(0, 3, 1, 2)
+        B, C, H, W = x.shape
+        x = F.pad(x, (self.pad, self.pad, self.pad, self.pad))
+        x = self.decoder(x)
+        return x[:, :, self.pad:self.pad + H, self.pad:self.pad + W]
+
+    def loss(self, pred, target, mask):
+        loss = F.mse_loss(pred * mask, target * mask, reduction="none")
+        return loss.sum() / (mask.sum() + 1e-8)
+
+
+class TriplaneElev(nn.Module):
+    """Elevation model (``detectors/triplane_elev.py:23-300``)."""
+
+    def __init__(self, lidar_cfg, camera_cfg,
+                 volume=(100, 100, 80), voxel_size=(0.4, 0.4, 0.1),
+                 pc_range=(-20, -20, -5, 20, 20, 3),
+                 triplane_range=(-25, -25, -5, 25, 25, 3),
+                 image_hw=(256, 512)):
+        super().__init__()
+        self.encoder = JointEncoder(lidar_cfg, camera_cfg, embed_dims=192)
+        self.neck = MixVisionTransformer(768, 1024)
+        self.decoder = UnetElevHead(32, volume[2], 14)
+        self.volume = volume
+        self.voxel_size = voxel_size
+        self.pc_range = pc_range
+        self.triplane_range = triplane_range
+        self.image_hw = image_hw
+
+    def get_reference_points(self, volume, bs):
+        """triplane_elev.py:113-133 verbatim ((ys, xs, zs) stack)."""
+        H, W, Z = volume
+        zs = torch.linspace(0.5, Z - 0.5, Z).view(1, 1, Z).expand(H, W, Z)
+        xs = torch.linspace(0.5, W - 0.5, W).view(1, W, 1).expand(H, W, Z)
+        ys = torch.linspace(0.5, H - 0.5, H).view(H, 1, 1).expand(H, W, Z)
+        ref_3d = torch.stack((ys, xs, zs), -1)
+        return ref_3d[None].repeat(bs, 1, 1, 1, 1)
+
+    def sample_points_triplane(self, triplane, points):
+        """triplane_elev.py:286-310 (normalizes by *triplane_range*)."""
+        vc = torch.zeros_like(points)
+        for d in range(3):
+            vc[..., d] = (
+                points[..., d] - self.triplane_range[d]
+            ) / self.voxel_size[d]
+        vc = vc / (triplane.shape[-1] / 2) - 1
+        b, h, w, z, p = vc.shape
+        vc = vc.view(b, h, w * z, p)
+        xy = F.grid_sample(triplane[:, 0], vc[..., [0, 1]],
+                           mode="bilinear", padding_mode="zeros")
+        yz = F.grid_sample(triplane[:, 1], vc[..., [1, 2]],
+                           mode="bilinear", padding_mode="zeros")
+        xz = F.grid_sample(triplane[:, 2], vc[..., [0, 2]],
+                           mode="bilinear", padding_mode="zeros")
+        return (xy + yz + xz).view(b, -1, h, w, z)
+
+    def forward(self, img, range_image, range_points, lidar2img,
+                resize, crop, flip):
+        """triplane_elev.py:239-279 train branch (loss to caller);
+        NOTE: no range crop, unlike MAE/Occ."""
+        range_features, image_features, _ = self.encoder(
+            img, range_image, range_points, lidar2img, resize, crop,
+            flip, self.image_hw,
+        )
+        range_features = range_features + get_2d_sincos_pos_embed(
+            768, range_features.shape[-2:]
+        )
+        image_features = image_features + get_2d_sincos_pos_embed(
+            768, image_features.shape[-2:]
+        )
+        B, N, C, H, W = image_features.shape
+        image_features = (
+            image_features.permute(0, 2, 1, 3, 4).contiguous()
+            .view(B, C, -1, W)
+        )
+        combined = torch.cat((range_features, image_features), dim=2)
+        triplane = self.neck(combined)
+        B, C, H, W = triplane.shape
+        triplane = triplane.view(B, 3, -1, H, W)
+
+        points = self.get_reference_points(self.volume, B)
+        for d in range(3):
+            points[..., d] = (
+                points[..., d] * self.voxel_size[d] + self.pc_range[d]
+            )
+        voxel_feat = self.sample_points_triplane(triplane, points)
+        return self.decoder(voxel_feat)
+
+
+class MiTHead(nn.Module):
+    """MixVisionTransformerHead MAE reconstruction decoder
+    (``dense_heads/mit_decoder.py:286-440``): overlap patch embed, 2
+    sr_ratio=4 blocks, LN, 1x1 ``decoder_pred``, masked patch-MSE."""
+
+    def __init__(self, patch_size, stride, in_chans, embed_dim,
+                 actual_patch_size, img_in_chans):
+        super().__init__()
+        self.patch_embed = PatchEmbed(
+            in_chans, embed_dim, patch_size, stride
+        )
+        self.transformer_block = nn.ModuleList(
+            [MiTBlock(embed_dim, 4, 2, sr_ratio=4) for _ in range(2)]
+        )
+        self.norm1 = nn.LayerNorm(embed_dim)
+        p0, p1 = actual_patch_size
+        self.decoder_pred = nn.Conv2d(embed_dim, p0 * p1 * img_in_chans, 1)
+        self.actual_patch_size = actual_patch_size
+        self.img_in_chans = img_in_chans
+
+    def forward(self, x):
+        B = x.shape[0]
+        x, H, W = self.patch_embed(x)
+        for blk in self.transformer_block:
+            x = blk(x, H, W)
+        x = self.norm1(x)
+        x = x.reshape(B, H, W, -1).permute(0, 3, 1, 2).contiguous()
+        return self.decoder_pred(x)
+
+    def patchify(self, imgs):
+        """(mit_decoder.py:379-398) — flat channel order (p0, p1, C)."""
+        p0, p1 = self.actual_patch_size
+        h = imgs.shape[2] // p0
+        w = imgs.shape[3] // p1
+        x = imgs.reshape(imgs.shape[0], self.img_in_chans, h, p0, w, p1)
+        x = torch.einsum("nchpwq->npqchw", x)
+        return x.reshape(imgs.shape[0], p0 * p1 * self.img_in_chans, h, w)
+
+    def forward_loss(self, imgs, pred, mask):
+        """(mit_decoder.py:420-440)."""
+        target = self.patchify(imgs.clone())
+        mask = self.patchify(mask)
+        loss = (pred - target) ** 2
+        return (loss * mask).sum() / mask.sum()
+
+
+class TriplaneMAE(nn.Module):
+    """Pretrain model loss path (``detectors/triplane.py:305-487``,
+    mask ratios 0 — the shipped pretrain configs' setting).  Restates
+    the camera scatter (:379-390, advanced-index LAST-write), the
+    range-image reconstruction (:477-487) and the masked patch-MSE
+    heads on the shared encoder/neck path."""
+
+    def __init__(self, lidar_cfg, camera_cfg,
+                 pc_range=(-25, -25, -5, 25, 25, 3),
+                 voxel_size=(0.4, 0.4, 0.1), image_hw=(256, 512)):
+        super().__init__()
+        self.encoder = JointEncoder(lidar_cfg, camera_cfg, embed_dims=192)
+        self.neck = MixVisionTransformer(768, 1024)
+        self.camera_decoder = MiTHead(
+            patch_size=(7, 7), stride=(4, 4), in_chans=32, embed_dim=96,
+            actual_patch_size=(4, 4), img_in_chans=3,
+        )
+        self.lidar_decoder = MiTHead(
+            patch_size=(1, 7), stride=(1, 4), in_chans=32, embed_dim=96,
+            actual_patch_size=(1, 4), img_in_chans=1,
+        )
+        # built-but-unused projections (triplane.py:79-80); importer drops
+        self.proj_cam_downsample = nn.Conv2d(32, 768, kernel_size=1)
+        self.proj_range_downsample = nn.Conv2d(32, 768, kernel_size=1)
+        self.pc_range = pc_range
+        self.voxel_size = voxel_size
+        self.image_hw = image_hw
+
+    def sample_points_triplane(self, triplane, points):
+        """triplane.py:490-514 (same math as TriplaneOcc's)."""
+        vc = torch.zeros_like(points)
+        for d in range(3):
+            vc[..., d] = (
+                points[..., d] - self.pc_range[d]
+            ) / self.voxel_size[d]
+        vc = vc / (triplane.shape[-1] / 2) - 1
+        xy = F.grid_sample(triplane[:, 0], vc[..., [0, 1]],
+                           mode="bilinear", padding_mode="zeros")
+        yz = F.grid_sample(triplane[:, 1], vc[..., [1, 2]],
+                           mode="bilinear", padding_mode="zeros")
+        xz = F.grid_sample(triplane[:, 2], vc[..., [0, 2]],
+                           mode="bilinear", padding_mode="zeros")
+        return xy + yz + xz
+
+    @staticmethod
+    def _scatter_last_write(canvas, rows, cols, vals):
+        """``canvas[:, rows, cols] = vals`` with explicit LAST-write on
+        duplicate pixels (torch advanced-index semantics restated via
+        numpy's last-occurrence trick)."""
+        C, H, W = canvas.shape
+        lin = (rows * W + cols).numpy()
+        # first occurrence in the reversed stream == last in original
+        rev_uniq, rev_idx = np.unique(lin[::-1], return_index=True)
+        src = len(lin) - 1 - rev_idx
+        flat = canvas.reshape(C, H * W)
+        flat[:, torch.from_numpy(rev_uniq).long()] = vals[
+            :, torch.from_numpy(src).long()
+        ]
+        return flat.reshape(C, H, W)
+
+    def forward(self, img, range_image, range_points, lidar2img,
+                resize, crop, flip):
+        pr = self.pc_range
+        m = (
+            (range_points[..., 0] > pr[0]) & (range_points[..., 0] < pr[3])
+            & (range_points[..., 1] > pr[1]) & (range_points[..., 1] < pr[4])
+            & (range_points[..., 2] > pr[2]) & (range_points[..., 2] < pr[5])
+        )
+        range_image = range_image * m.unsqueeze(1)
+        range_points = range_points * m.unsqueeze(-1)
+
+        range_features, image_features, rc_coors = self.encoder(
+            img, range_image, range_points, lidar2img, resize, crop,
+            flip, self.image_hw,
+        )
+        range_features = range_features + get_2d_sincos_pos_embed(
+            768, range_features.shape[-2:]
+        )
+        image_features = image_features + get_2d_sincos_pos_embed(
+            768, image_features.shape[-2:]
+        )
+        B, N, C, H, W = image_features.shape
+        image_features = (
+            image_features.permute(0, 2, 1, 3, 4).contiguous()
+            .view(B, C, -1, W)
+        )
+        combined = torch.cat((range_features, image_features), dim=2)
+        triplane = self.neck(combined)
+        B, C, H, W = triplane.shape
+        triplane = triplane.view(B, 3, -1, H, W)
+
+        point_mask = range_image > 0  # mask ratio 0: all pixels active
+        range_proj_feat = self.sample_points_triplane(
+            triplane, range_points
+        )  # (B, 32, RH, RW)
+
+        B, N, C, H, W = img.shape
+        losses = {}
+
+        # camera reconstruction (triplane.py:379-400)
+        coors = rc_coors.long()
+        Cf = range_proj_feat.shape[1]
+        cam_proj = torch.zeros(B, N, Cf, H, W)
+        for b in range(B):
+            for cam in range(N):
+                cc = coors[b, cam]
+                valid = cc[..., 0] > 0
+                cc = cc[valid, :]
+                feat = range_proj_feat[b].reshape(Cf, -1)[
+                    :, valid.reshape(-1)
+                ]
+                cam_proj[b, cam] = self._scatter_last_write(
+                    cam_proj[b, cam], cc[:, 0], cc[:, 1], feat
+                )
+        cam_pred = self.camera_decoder(cam_proj.view(B * N, Cf, H, W))
+        imgs = img.view(B * N, C, H, W)
+        losses["camera_loss"] = self.camera_decoder.forward_loss(
+            imgs, cam_pred, torch.ones_like(imgs)
+        )
+
+        # range reconstruction (triplane.py:477-487)
+        masked = range_proj_feat * point_mask.repeat(1, Cf, 1, 1)
+        range_pred = self.lidar_decoder(masked)
+        losses["range_loss"] = self.lidar_decoder.forward_loss(
+            range_image, range_pred, torch.ones_like(range_image)
+        )
+        return losses

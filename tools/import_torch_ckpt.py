@@ -45,6 +45,11 @@ def _conv3d_1x1(w):
     return np.ascontiguousarray(w.reshape(w.shape[0], w.shape[1]).T)
 
 
+def _conv3d(w):
+    # torch Conv3d (O, I, kd, kh, kw) -> flax (kd, kh, kw, I, O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
 def _conv_transpose(w):
     # torch ConvTranspose2d weight (I, O, kh, kw); flax ConvTranspose
     # kernel (kh, kw, I, O) applied UNflipped (lax.conv_transpose
@@ -133,6 +138,66 @@ def map_torch_key(key: str):
         tf = _linear if m.group(2) == "weight" else None
         head = k[: m.start()].replace(".", "/")
         return f"{head}position_encoder/{fc}/{leaf}", tf
+
+    # ---- Unet elevation head (dense_heads/unet.py:27-44 wrapping
+    # smp.Unet(resnet34); flax twin heads.py::ElevUNetHead).  Must
+    # precede the MiT section: smp's conv1/proj leaf names collide with
+    # its generic patterns. ----
+    def _bn_leaf(mod, leaf):
+        if leaf in ("running_mean", "running_var"):
+            stat = "mean" if leaf == "running_mean" else "var"
+            return f"batch_stats/{mod}/{stat}", None
+        return f"{mod}/{'scale' if leaf == 'weight' else 'bias'}", None
+
+    if re.match(r"decoder\.proj\.0\.weight$", k):
+        return "decoder/proj/kernel", _conv3d
+    if re.match(r"decoder\.decoder\.encoder\.conv1\.weight$", k):
+        return "decoder/stem/kernel", _conv
+    m = re.match(
+        r"decoder\.decoder\.encoder\.bn1\."
+        r"(weight|bias|running_mean|running_var)$", k
+    )
+    if m:
+        return _bn_leaf("decoder/stem_bn", m.group(1))
+    m = re.match(
+        r"decoder\.decoder\.encoder\.layer(\d)\.(\d+)\."
+        r"(conv1|conv2|bn1|bn2)\.(weight|bias|running_mean|running_var)$",
+        k,
+    )
+    if m:
+        blk = f"decoder/enc{int(m.group(1)) - 1}_{m.group(2)}"
+        part, leaf = m.group(3), m.group(4)
+        if part.startswith("conv"):
+            return f"{blk}/{part}/kernel", _conv
+        return _bn_leaf(f"{blk}/{part}", leaf)
+    m = re.match(
+        r"decoder\.decoder\.encoder\.layer(\d)\.(\d+)\.downsample\."
+        r"([01])\.(weight|bias|running_mean|running_var)$",
+        k,
+    )
+    if m:
+        blk = f"decoder/enc{int(m.group(1)) - 1}_{m.group(2)}"
+        if m.group(3) == "0":
+            return f"{blk}/down_conv/kernel", _conv
+        return _bn_leaf(f"{blk}/down_bn", m.group(4))
+    m = re.match(
+        r"decoder\.decoder\.decoder\.blocks\.(\d)\.conv([12])\.([01])\."
+        r"(weight|bias|running_mean|running_var)$",
+        k,
+    )
+    if m:
+        i, c, sub, leaf = m.groups()
+        mod = f"decoder/dec{i}_{int(c) - 1}"
+        if sub == "0":
+            return f"{mod}/kernel", _conv
+        return _bn_leaf(f"{mod}_bn", leaf)
+    m = re.match(
+        r"decoder\.decoder\.segmentation_head\.0\.(weight|bias)$", k
+    )
+    if m:
+        tf = _conv if m.group(1) == "weight" else None
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return f"decoder/head/{leaf}", tf
 
     # ---- MiT necks / decoder heads ----
     k2 = k
