@@ -103,8 +103,21 @@ def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
     return state, make_train_step(model, optimizer, rng_names)
 
 
+def _device_batch(batch):
+    """Pin the batch on device before timing — the input pipeline
+    double-buffers H2D in production (train/loader prefetch), so the
+    steady-state step should not pay a fresh host transfer per call
+    (through the axon tunnel that is ~milliseconds per step)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x))
+        if hasattr(x, "shape") else x,
+        batch,
+    )
+
+
 def _time_train(step_fn, state, batch, iters: int):
     rng = jax.random.key(0)
+    batch = _device_batch(batch)
     state, logs = step_fn(state, batch, rng)  # compile + warmup
     np.asarray(logs["loss"])  # hard-sync (see module docstring note)
     flops = _flops_of(step_fn, state, batch, rng)
@@ -132,6 +145,8 @@ def bench_infer(batch_size: int, iters: int):
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0)}, b)
     )(batch)
+
+    batch = _device_batch(batch)
 
     @jax.jit
     def infer(variables, batch):

@@ -146,17 +146,18 @@ class ConvNeXtBlock(nn.Module):
         ) + dw_b.astype(dt)
         if mask is not None:
             x = x * mask
-        if (
-            mask is None
-            and dt == jnp.bfloat16
-            and jax.default_backend() == "tpu"
-        ):
+        if dt == jnp.bfloat16 and jax.default_backend() == "tpu":
             # training path with stochastic depth: the fused epilogue
             # (with its fused Pallas backward) computes f(y); droppath
-            # and the residual stay out here
+            # and the residual stay out here.  Masked (SparK) mode works
+            # too — both mask multiplies commute with the per-pixel
+            # LN+MLP epilogue (pre-LN above, post-MLP below), which is
+            # what makes MAE pretrain's backward ride the fused kernels.
             from ..ops.pallas_kernels import epilogue_fused
 
             x = epilogue_fused(x, ln_s, ln_b, w1, b1, w2, b2, gamma)
+            if mask is not None:
+                x = x * mask
         else:
             # LayerNorm over channels, f32 statistics (flax semantics)
             xf = x.astype(jnp.float32)

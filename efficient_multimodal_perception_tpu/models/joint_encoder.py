@@ -216,14 +216,39 @@ class JointEncoder(nn.Module):
         row_f = jnp.clip(row_f, 0, h1 - 1)
         flat_f = row_f * w1 + col_f  # (B, N, P)
 
-        # (2) gather camera features onto range pixels, sum over cameras
+        # (2) gather camera features onto range pixels, sum over cameras.
+        # On TPU/bf16 this is a masked one-hot MXU matmul (the XLA
+        # gather measured ~7.7 ms true and its backward is a
+        # scatter-add; the kernel replaces both with matmuls —
+        # ``ops/pallas_kernels.cam_gather_sum``).
         feats_flat = img_features.reshape(B, N, h1 * w1, C)
-        gathered = jnp.take_along_axis(
-            feats_flat, flat_f[..., None], axis=2
-        )  # (B, N, P, C)
-        cam_range = jnp.sum(
-            gathered * active_valid[..., None].astype(gathered.dtype), axis=1
-        ).reshape(B, RH, RW, C)
+        # Cost/VMEM gate (measured v5e): the one-hot's MXU work scales
+        # with K=h1*w1, the gather's does not.  At MAE shapes
+        # (K=8192, C=96: 3.1e11 FLOP/row, 9.4 MB feat block) the kernel
+        # fits and wins the forward ~2x; at occ's stage-1 (C=192) the
+        # 18.9 MB feat block blows scoped VMEM (48.75M vs 16M) and the
+        # ~15 ms MXU floor would lose to the 7.7 ms gather regardless.
+        feat_bytes = N * h1 * w1 * C * img_features.dtype.itemsize
+        onehot_flops_per_row = 2 * N * h1 * w1 * C * P
+        if (
+            img_features.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and feat_bytes <= 10_000_000
+            and onehot_flops_per_row <= 4e11
+        ):
+            from ..ops.pallas_kernels import cam_gather_sum
+
+            cam_range = cam_gather_sum(
+                feats_flat, flat_f, active_valid
+            ).reshape(B, RH, RW, C)
+        else:
+            gathered = jnp.take_along_axis(
+                feats_flat, flat_f[..., None], axis=2
+            )  # (B, N, P, C)
+            cam_range = jnp.sum(
+                gathered * active_valid[..., None].astype(gathered.dtype),
+                axis=1,
+            ).reshape(B, RH, RW, C)
 
         # (3) scatter positional encodings into camera features.
         # NOTE: torch advanced-index `+=` (joint_encoder.py:213) does NOT

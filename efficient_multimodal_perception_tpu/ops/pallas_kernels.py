@@ -28,14 +28,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 256
 
+# Scoped-VMEM budget for the sampler backward's 3 f32 plane-grad
+# accumulators; larger shapes tile their H axis (tests shrink this to
+# force the tiled path at toy sizes).
+_BWD_ACC_BUDGET = 8_000_000
 
-def _axis_weights(coord, size, block):
-    """(BLK,) normalized coords -> (BLK, size) bilinear weight rows."""
+
+def _axis_weights(coord, size, block, window=None, offset=0):
+    """(BLK,) normalized coords -> (BLK, window) bilinear weight rows.
+
+    ``window``/``offset`` restrict the emitted columns to the index
+    range ``[offset, offset + window)`` of the full ``size`` axis (used
+    by the tiled backward; weights outside the window are simply absent
+    from the result).  Default is the whole axis.
+    """
+    if window is None:
+        window = size
     ix = ((coord + 1.0) * size - 1.0) * 0.5
     i0 = jnp.floor(ix)
     w1 = ix - i0
     w0 = 1.0 - w1
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, size), 1)
+    cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (block, window), 1) + offset
+    )
     i0i = i0.astype(jnp.int32)[:, None]
     in0 = (i0i >= 0) & (i0i <= size - 1)
     in1 = (i0i + 1 >= 0) & (i0i + 1 <= size - 1)
@@ -45,7 +60,7 @@ def _axis_weights(coord, size, block):
 
 
 def _kernel(coords_ref, p0_ref, p1_ref, p2_ref, out_ref, *, size, block):
-    c = coords_ref[:].astype(jnp.float32)  # (BLK, 3)
+    c = coords_ref[0].astype(jnp.float32)  # (BLK, 3)
 
     def sample(plane_ref, a, b):
         # grid x (coord a) indexes the plane's W axis, grid y (coord b)
@@ -54,7 +69,7 @@ def _kernel(coords_ref, p0_ref, p1_ref, p2_ref, out_ref, *, size, block):
         # (Mosaic rejects merges that leave a sub-lane minor).
         Wl = _axis_weights(c[:, a], size, block)  # cols (W axis)
         Wh = _axis_weights(c[:, b], size, block)  # rows (H axis)
-        plane = plane_ref[:]  # (S, C, S)
+        plane = plane_ref[0]  # (S, C, S)
         S, C, _ = plane.shape
         tmp = jnp.dot(
             Wh.astype(plane.dtype), plane.reshape(S, C * S),
@@ -67,32 +82,43 @@ def _kernel(coords_ref, p0_ref, p1_ref, p2_ref, out_ref, *, size, block):
         + sample(p1_ref, 1, 2)
         + sample(p2_ref, 0, 2)
     )
-    out_ref[:] = out.astype(out_ref.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(coords_ref, g_ref, o0_ref, o1_ref, o2_ref, *, size, block):
+def _bwd_kernel(coords_ref, g_ref, o0_ref, o1_ref, o2_ref, *, size,
+                block, tile):
     """Accumulate dL/dplane = sum_p Wh[p,h] Wl[p,w] g[p,c] per plane.
 
-    Natively batched: grid is (B, n_blocks) with the point-block index
-    innermost, so each batch row's (S, C, S) output tiles are revisited
-    consecutively and accumulation is init-on-first-point-block + add.
-    (A ``jax.vmap`` over a 1-D-grid kernel instead makes the batch a
-    leading *block* dimension and the scoped-VMEM accounting then holds
-    several batches' accumulators live at once — B=4 MAE training OOM'd
-    at 23 MB scoped VMEM.)
+    Natively batched: grid is (B, n_tiles, n_blocks) with the
+    point-block index innermost, so each batch row's output tiles are
+    revisited consecutively and accumulation is
+    init-on-first-point-block + add.  (A ``jax.vmap`` over a 1-D-grid
+    kernel instead makes the batch a leading *block* dimension and the
+    scoped-VMEM accounting then holds several batches' accumulators
+    live at once — B=4 MAE training OOM'd at 23 MB scoped VMEM.)
+
+    The H (row) axis of each accumulator is tiled to ``tile`` rows per
+    grid step when the full 3x(S, C, S) f32 accumulators would blow the
+    scoped-VMEM budget (VERDICT r2 #3, surf_sam B>=4): the windowed
+    ``Wh`` restricts the MXU dot to the tile's output rows — total MXU
+    FLOPs are unchanged across tiles, only the (cheap) weight build and
+    ``M`` assembly are redone per tile.
     """
-    i = pl.program_id(1)
+    t = pl.program_id(1)
+    i = pl.program_id(2)
     c = coords_ref[0].astype(jnp.float32)  # (BLK, 3)
     g = g_ref[0].astype(jnp.float32)  # (BLK, C)
     C = g.shape[-1]
 
     def contrib(a, b):
         Wl = _axis_weights(c[:, a], size, block)
-        Wh = _axis_weights(c[:, b], size, block)
+        Wh = _axis_weights(
+            c[:, b], size, block, window=tile, offset=t * tile
+        )
         M = (g[:, :, None] * Wl[:, None, :]).reshape(block, C * size)
         return jnp.dot(
             Wh.T, M, preferred_element_type=jnp.float32
-        ).reshape(size, C, size)
+        ).reshape(tile, C, size)
 
     for out_ref, (a, b) in ((o0_ref, (0, 1)), (o1_ref, (1, 2)),
                             (o2_ref, (0, 2))):
@@ -128,23 +154,31 @@ def _sample_bwd(block, interpret, res, g):
     gpad = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
     n_blocks = (P + pad) // block
 
-    kernel = functools.partial(_bwd_kernel, size=S, block=block)
+    # Tile the accumulators' H axis so the 3 per-plane f32 grad blocks
+    # stay within ~6 MB of scoped VMEM (they're revisited across point
+    # blocks, plus double-buffering on the (b, t) change).
+    tile = S
+    while 3 * tile * C * S * 4 > _BWD_ACC_BUDGET and tile % 2 == 0:
+        tile //= 2
+    n_tiles = S // tile
 
-    def bk(b, i):
+    kernel = functools.partial(_bwd_kernel, size=S, block=block, tile=tile)
+
+    def bk(b, t, i):
         return (b, i, 0)
 
-    def bo(b, i):
-        return (b, 0, 0, 0)
+    def bo(b, t, i):
+        return (b, t, 0, 0)
 
     grads = pl.pallas_call(
         kernel,
-        grid=(B, n_blocks),
+        grid=(B, n_tiles, n_blocks),
         in_specs=[
             pl.BlockSpec((1, block, 3), bk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, C), bk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, C, S), bo, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tile, C, S), bo, memory_space=pltpu.VMEM)
         ]
         * 3,
         out_shape=[
@@ -161,6 +195,167 @@ def _sample_bwd(block, interpret, res, g):
 
 
 _sample_diff.defvjp(_sample_fwd, _sample_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Interact camera->range gather as one-hot MXU matmuls (VERDICT r2 #8).
+#
+# The reference gathers stage-1 camera features onto range pixels
+# (``joint_encoder.py:141-160``); XLA lowers ``take_along_axis`` to a
+# gather that measured ~7.7 ms true at (B=4, N=6, P=32768, K=2048,
+# C=96) — and its backward is a scatter-add.  The gather source per
+# (batch, cam) is only K = h1*w1 = 2048 rows, so a masked one-hot
+# ``(P, K) @ (K, C)`` matmul computes the same thing as MXU work (the
+# one-hot tile is built in VMEM from an iota comparison and never
+# touches HBM), and the backward is the transposed matmul — no gather,
+# no scatter in either direction.  The sum over cameras rides the grid:
+# the camera index is innermost and accumulates into the output block.
+# ---------------------------------------------------------------------------
+
+
+def _cam_gather_kernel(idx_ref, val_ref, feat_ref, out_ref, *, K, block, N):
+    # cameras ride a static in-kernel loop — the (1, N, block) idx/val
+    # and (1, N, K, C) feats blocks keep Mosaic's sublane rules happy
+    # (a (1, 1, block) block of a (B, N, P) array is not legal), and the
+    # feats block index is p-invariant so it stays VMEM-resident across
+    # the whole point sweep of each batch row.
+    out = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for n in range(N):
+        # idx/val arrive points-in-sublanes as (block, N) — the column
+        # slice is a sublane vector, so the (block, 1) broadcast below
+        # needs no lane->sublane relayout (Mosaic rejects those)
+        idx = idx_ref[0][:, n]  # (block,) int32
+        val = val_ref[0][:, n]  # (block,) 0/1 in feat dtype
+        feat = feat_ref[0, n]  # (K, C)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block, K), 1)
+        W = (cols == idx[:, None]).astype(feat.dtype) * val[:, None]
+        out = out + jnp.dot(W, feat, preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _cam_gather_bwd_kernel(idx_ref, val_ref, g_ref, dfeat_ref, *, K,
+                           block, N):
+    p = pl.program_id(1)
+    g = g_ref[0]  # (block, C)
+    for n in range(N):
+        idx = idx_ref[0][:, n]
+        val = val_ref[0][:, n]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block, K), 1)
+        W = (cols == idx[:, None]).astype(g.dtype) * val[:, None]
+        contrib = jnp.dot(W.T, g, preferred_element_type=jnp.float32)
+
+        @pl.when(p == 0)
+        def _(n=n, contrib=contrib):
+            dfeat_ref[0, n] = contrib.astype(dfeat_ref.dtype)
+
+        @pl.when(p > 0)
+        def _(n=n, contrib=contrib):
+            dfeat_ref[0, n] = dfeat_ref[0, n] + contrib.astype(
+                dfeat_ref.dtype
+            )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def cam_gather_sum(feats, idx, valid, interpret=False):
+    """``sum_n onehot(idx[b,n]) @ feats[b,n]`` with validity masking.
+
+    Args:
+        feats: ``(B, N, K, C)`` per-camera feature rows.
+        idx: ``(B, N, P)`` int32 row index into K per range pixel.
+        valid: ``(B, N, P)`` bool/0-1 mask (invalid pixels contribute 0).
+
+    Returns:
+        ``(B, P, C)`` — bit-equivalent to
+        ``(take_along_axis(feats, idx) * valid).sum(axis=1)`` with f32
+        accumulation over cameras.
+    """
+    return _cam_gather_impl(feats, idx, valid, interpret)
+
+
+def _cam_gather_fwd(feats, idx, valid, interpret):
+    # zero-byte token carrying K and the feats dtype into the backward
+    tok = jnp.zeros((feats.shape[2], 0), feats.dtype)
+    return _cam_gather_impl(feats, idx, valid, interpret), (tok, idx, valid)
+
+
+def _cam_gather_bwd(interpret, res, g):
+    tok, idx, valid = res
+    dt = tok.dtype
+    K = tok.shape[0]
+    B, N, P = idx.shape
+    C = g.shape[-1]
+    block = 256
+    pad = (-P) % block
+    ipad = jnp.pad(
+        idx, ((0, 0), (0, 0), (0, pad)), constant_values=-1
+    ).transpose(0, 2, 1)  # (B, P+pad, N): points in sublanes
+    vpad = jnp.pad(
+        valid.astype(dt), ((0, 0), (0, 0), (0, pad))
+    ).transpose(0, 2, 1)
+    gpad = jnp.pad(g.astype(dt), ((0, 0), (0, pad), (0, 0)))
+    n_blocks = (P + pad) // block
+
+    kernel = functools.partial(
+        _cam_gather_bwd_kernel, K=K, block=block, N=N
+    )
+    dfeats = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, N), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, N), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, C), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, K, C), lambda b, p: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, K, C), jnp.float32),
+        interpret=interpret,
+    )(ipad, vpad, gpad)
+    return dfeats.astype(dt), None, None
+
+
+cam_gather_sum.defvjp(_cam_gather_fwd, _cam_gather_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cam_gather_impl(feats, idx, valid, interpret=False):
+    B, N, K, C = feats.shape
+    P = idx.shape[-1]
+    block = 256
+    pad = (-P) % block
+    ipad = jnp.pad(
+        idx, ((0, 0), (0, 0), (0, pad)), constant_values=-1
+    ).transpose(0, 2, 1)  # (B, P+pad, N): points in sublanes
+    vpad = jnp.pad(
+        valid.astype(feats.dtype), ((0, 0), (0, 0), (0, pad))
+    ).transpose(0, 2, 1)
+    n_blocks = (P + pad) // block
+
+    kernel = functools.partial(_cam_gather_kernel, K=K, block=block, N=N)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, N), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, N), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, K, C), lambda b, p: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, C), lambda b, p: (b, p, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, P + pad, C), jnp.float32),
+        interpret=interpret,
+    )(ipad, vpad, feats)
+    return out[:, :P]
 
 
 def triplane_sample_pallas(
@@ -204,33 +399,38 @@ def _sample_fwd_impl(
 
     kernel = functools.partial(_kernel, size=S, block=block)
 
-    def one_batch(tri_b, coords_b):
-        return pl.pallas_call(
-            kernel,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(
-                    (block, 3), lambda i: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ]
-            + [
-                pl.BlockSpec(
-                    (S, C, S), lambda i: (0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ]
-            * 3,
-            out_specs=pl.BlockSpec(
-                (block, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+    # Natively batched like the backward: grid (B, n_blocks) with B
+    # OUTERMOST so the 3 (S, C, S) plane blocks stay VMEM-resident
+    # across each batch row's whole point sweep.  (``jax.vmap`` over a
+    # 1-D-grid call instead appends the batch as the INNERMOST grid
+    # axis, re-fetching all 3 plane blocks on every (point-block, b)
+    # step — B=8/12 inference regressed below B=4 because of exactly
+    # that extra HBM traffic; VERDICT r2 Weak #3.)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, 3), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct(
-                (P + pad, C), triplane.dtype
-            ),
-            interpret=interpret,
-        )(coords_b, tri_b[0], tri_b[1], tri_b[2])
-
-    out = jax.vmap(one_batch)(tri_t, cpad)
+        ]
+        + [
+            pl.BlockSpec(
+                (1, S, C, S), lambda b, i: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 3,
+        out_specs=pl.BlockSpec(
+            (1, block, C), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, P + pad, C), triplane.dtype
+        ),
+        interpret=interpret,
+    )(cpad, tri_t[:, 0], tri_t[:, 1], tri_t[:, 2])
     return out[:, :P]
 
 
@@ -950,11 +1150,20 @@ def post_epilogue_bwd_wide(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
     """
     M, C = y.shape
     C4 = w1.shape[-1]
-    cap = max(128, 8_000_000 // (C4 * 24))
+    dt = y.dtype
+    # Row-block budget: w1+w2 stay VMEM-resident (2*C*C4*itemsize); the
+    # double-buffered row blocks (y, g, dy, z + h, dhpre) cost
+    # 4*(4C + 2*C4)*itemsize per row and the in-kernel f32 temporaries
+    # (hpre/phi/dh at (R, C4)) another ~12*C4 — solve R against ~14 MB
+    # of the 16 MB scoped limit.  (The old max(128, ...) FLOORED R at
+    # 128, which at C=768/M=3072 overran scoped VMEM by 432 KB on v5e.)
+    itm = jnp.dtype(dt).itemsize
+    w_bytes = 2 * C * C4 * itm
+    per_row = 4 * (4 * C + 2 * C4) * itm + 12 * C4
+    cap = max(8, (14_000_000 - w_bytes) // per_row)
     R = 1
     while M % (R * 2) == 0 and R * 2 <= min(2048, cap):
         R *= 2
-    dt = y.dtype
 
     operands = [
         y.reshape(M, C),

@@ -280,3 +280,69 @@ def test_epilogue_fused_interpret():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5
         )
+
+
+def test_pallas_sampler_tiled_backward_matches():
+    """H-tiled accumulator backward (VERDICT r2 #3) == untiled grads:
+    shrink the accumulator budget so S=8 splits into 4 tiles."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(9)
+    B, S, C, P = 2, 8, 4, 70
+    tri = jnp.asarray(
+        rng.standard_normal((B, 3, S, S, C)).astype(np.float32)
+    )
+    coords = jnp.asarray(
+        rng.uniform(-1.1, 1.1, (B, P, 3)).astype(np.float32)
+    )
+
+    def loss(t):
+        out = triplane_sample_pallas(t, coords, block=32, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    g_full = np.asarray(jax.grad(loss)(tri))
+    old = pk._BWD_ACC_BUDGET
+    pk._BWD_ACC_BUDGET = 3 * (S // 4) * C * S * 4  # forces tile = S//4
+    try:
+        g_tiled = np.asarray(jax.grad(loss)(tri))
+    finally:
+        pk._BWD_ACC_BUDGET = old
+    np.testing.assert_allclose(g_tiled, g_full, atol=1e-6)
+
+
+def test_cam_gather_sum_matches_xla():
+    """One-hot-matmul interact gather (VERDICT r2 #8): fwd + feats-grad
+    vs the take_along_axis formulation, interpret mode."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        cam_gather_sum,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N, K, C, P = 2, 3, 64, 8, 300
+    feats = jnp.asarray(
+        rng.standard_normal((B, N, K, C)).astype(np.float32)
+    )
+    idx = jnp.asarray(rng.integers(0, K, (B, N, P)), jnp.int32)
+    valid = jnp.asarray(rng.random((B, N, P)) > 0.3)
+
+    def xla(f):
+        gathered = jnp.take_along_axis(f, idx[..., None], axis=2)
+        return jnp.sum(gathered * valid[..., None].astype(f.dtype), axis=1)
+
+    ref = np.asarray(xla(feats))
+    out = np.asarray(cam_gather_sum(feats, idx, valid, True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss_k(f):
+        return jnp.sum(jnp.sin(cam_gather_sum(f, idx, valid, True)))
+
+    def loss_x(f):
+        return jnp.sum(jnp.sin(xla(f)))
+
+    g_k = np.asarray(jax.grad(loss_k)(feats))
+    g_x = np.asarray(jax.grad(loss_x)(feats))
+    np.testing.assert_allclose(g_k, g_x, atol=1e-5)
