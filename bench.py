@@ -34,6 +34,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: full-model train graphs take 5-20 min
+# through the remote compiler; caching the serialized executables makes
+# re-runs (and the driver's bench invocation) start in seconds.  No-op
+# if the backend can't serialize executables.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 V5E_PEAK_FLOPS = 197e12  # bf16, per chip
 
 
@@ -47,16 +57,37 @@ def parse_args():
     return p.parse_args()
 
 
-def _flops_of(jitted, *args) -> float:
+def _aot(jitted, *args):
+    """AOT-compile once; the executable serves BOTH the timed calls and
+    the FLOPs cost analysis.  (Calling the jitted function and then
+    ``lower().compile()`` separately costs a SECOND full-model remote
+    compile per section — the r3 bench blew an hour that way.)"""
+    return jitted.lower(*args).compile()
+
+
+def _flops_of(compiled) -> float:
     """Per-invocation FLOPs from XLA cost analysis (0.0 if the backend
     doesn't report)."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0))
     except Exception:
         return 0.0
+
+
+def _cpu_init(make_variables):
+    """Run the (jitted) init on the CPU backend and ship the params to
+    the default device — a CPU compile + one weight transfer is minutes
+    cheaper than a full-model remote TPU compile of the init graph."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return make_variables()
+    with jax.default_device(cpu):
+        variables = make_variables()
+    return jax.device_put(variables)
 
 
 def _fused_attn_flops(cfg, batch_size: int, dtype) -> float:
@@ -96,11 +127,21 @@ def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
         freeze = tuple(cfg["model_init"].get("freeze", ())) + (
             frozen_stage_tokens(cfg["model"])
         )
-    opt_probe = make_optimizer(cfg, 1000, None, ())
-    state = init_state(model, batch, opt_probe, 0, rng_names)
-    optimizer = make_optimizer(cfg, 1000, state.params, freeze)
-    state = dataclasses.replace(state, opt_state=optimizer.init(state.params))
-    return state, make_train_step(model, optimizer, rng_names)
+
+    opt_holder = []
+
+    def build():
+        opt_probe = make_optimizer(cfg, 1000, None, ())
+        state = init_state(model, batch, opt_probe, 0, rng_names)
+        optimizer = make_optimizer(cfg, 1000, state.params, freeze)
+        opt_holder.append(optimizer)
+        return dataclasses.replace(
+            state, opt_state=optimizer.init(state.params)
+        )
+
+    state = _cpu_init(build)
+    return state, make_train_step(model, optimizer=opt_holder[0],
+                                  rng_names=rng_names)
 
 
 def _device_batch(batch):
@@ -118,12 +159,13 @@ def _device_batch(batch):
 def _time_train(step_fn, state, batch, iters: int):
     rng = jax.random.key(0)
     batch = _device_batch(batch)
-    state, logs = step_fn(state, batch, rng)  # compile + warmup
+    compiled = _aot(step_fn, state, batch, rng)
+    flops = _flops_of(compiled)
+    state, logs = compiled(state, batch, rng)  # warmup
     np.asarray(logs["loss"])  # hard-sync (see module docstring note)
-    flops = _flops_of(step_fn, state, batch, rng)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, logs = step_fn(state, batch, rng)
+        state, logs = compiled(state, batch, rng)
     np.asarray(logs["loss"])
     dt = time.perf_counter() - t0
     return dt, flops
@@ -142,9 +184,11 @@ def bench_infer(batch_size: int, iters: int):
     batch = synthetic_batch(
         batch_size, with_occ=False, point_budget=4096, seed=0
     )
-    variables = jax.jit(
-        lambda b: model.init({"params": jax.random.key(0)}, b)
-    )(batch)
+    variables = _cpu_init(
+        lambda: jax.jit(
+            lambda b: model.init({"params": jax.random.key(0)}, b)
+        )(batch)
+    )
 
     batch = _device_batch(batch)
 
@@ -153,13 +197,14 @@ def bench_infer(batch_size: int, iters: int):
         logits, _, _ = model.apply(variables, batch, deterministic=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
-    # warmup / compile; NOTE: hard-sync via host transfer — through the
-    # axon tunnel, block_until_ready returns before execution finishes.
-    np.asarray(infer(variables, batch))
-    flops = _flops_of(infer, variables, batch)
+    compiled = _aot(infer, variables, batch)
+    flops = _flops_of(compiled)
+    # warmup; NOTE: hard-sync via host transfer — through the axon
+    # tunnel, block_until_ready returns before execution finishes.
+    np.asarray(compiled(variables, batch))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(variables, batch)
+        out = compiled(variables, batch)
     np.asarray(out)
     dt = time.perf_counter() - t0
     flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)

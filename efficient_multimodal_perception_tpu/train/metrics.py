@@ -33,18 +33,33 @@ def evaluation_semantic(
     g = gt.reshape(B, -1)
     mask = g != 255
 
-    scores = []
-    for j in range(class_num):
-        if j == 0:
-            tp = ((g != 0) & (p != 0) & mask).sum(axis=1)
-            gc = ((g != 0) & mask).sum(axis=1)
-            pc = ((p != 0) & mask).sum(axis=1)
-        else:
-            tp = ((g == j) & (p == j) & mask).sum(axis=1)
-            gc = ((g == j) & mask).sum(axis=1)
-            pc = ((p == j) & mask).sum(axis=1)
-        scores.append(jnp.stack([tp, gc, pc], axis=-1))
-    return jnp.stack(scores, axis=1).astype(jnp.float32)
+    # Histogram formulation (shape-generic, no python loop over
+    # classes): masked-out voxels land in an overflow bucket that is
+    # sliced away; tp per class j>=1 is the histogram of gt where
+    # pred agrees.  Class 0 is the reference's geometry pseudo-class
+    # (any-nonzero vs any-nonzero), recovered from the same histograms
+    # by inclusion-exclusion.
+    ignore = jnp.int32(class_num)
+    gm = jnp.where(mask, g, ignore).astype(jnp.int32)
+    pm = jnp.where(mask, p, ignore).astype(jnp.int32)
+
+    def hist(x):
+        return jax.vmap(
+            lambda row: jnp.bincount(row, length=class_num + 1)
+        )(x)[:, :class_num]
+
+    gcount = hist(gm)
+    pcount = hist(pm)
+    tpcount = hist(jnp.where(gm == pm, gm, ignore))
+    nz = mask.sum(axis=1)
+    g0 = nz - gcount[:, 0]
+    p0 = nz - pcount[:, 0]
+    both_zero = (mask & (g == 0) & (p == 0)).sum(axis=1)
+    tp0 = nz - gcount[:, 0] - pcount[:, 0] + both_zero
+
+    scores = jnp.stack([tpcount, gcount, pcount], axis=-1)
+    scores = scores.at[:, 0].set(jnp.stack([tp0, g0, p0], axis=-1))
+    return scores.astype(jnp.float32)
 
 
 def aggregate_iou(scores: np.ndarray) -> dict:
