@@ -274,9 +274,48 @@ def bench_mae_train(batch_size: int, iters: int):
     )
 
 
+def _preflight(timeout_s: int = 240) -> str | None:
+    """Probe the device with a tiny transfer in a SUBPROCESS.
+
+    A dead axon relay makes every device call block forever in C (no
+    signal can interrupt it), so the probe must be killable from
+    outside.  Returns an error string, or None if the device answers.
+    The generous timeout covers first-contact backend init (~40 s).
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "print(np.asarray(jnp.ones((8, 8))).sum())"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device probe hung >{timeout_s}s (tunnel down?)"
+    if r.returncode != 0:
+        return f"device probe failed: {r.stderr.decode()[-200:]}"
+    return None
+
+
 def main():
     args = parse_args()
     only = args.only or ("train" if args.train else None)
+
+    err = _preflight()
+    if err is not None:
+        print(json.dumps({
+            "metric": "triplane_occ samples/sec/chip",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": err,
+        }))
+        return
 
     sections = {}
     plan = [only] if only else ["infer", "train", "mae"]
