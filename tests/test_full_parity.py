@@ -379,3 +379,84 @@ def test_full_point_triplane_occ_parity():
 
     assert ours.shape == theirs.shape == (1, 99, 99, 16, 5)
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_full_point_triplane_pretrain_camera_loss():
+    """Full-scale PointTriplane PRETRAIN camera-loss parity: the
+    deterministic pretrain key of ``point_triplane.py:336-381`` on
+    shared weights — per-point triplane readout (:436-466), the
+    ``cam_rec_feat`` pixel scatter (:243-309, last-write), and the MiT
+    reconstruction head.  (The stochastic surface/contrastive losses
+    are proven in test_stochastic_loss_parity by replaying jax draws.)
+    Together with test_full_point_triplane_occ_parity this closes
+    full-model parity for both point-family configs."""
+    from torch_ref import PointTriplane as TorchPointTriplane
+
+    torch.manual_seed(4)
+    camera_cfg = dict(
+        depths=(3, 3, 9, 3), channels=(96, 192, 384, 768),
+        stem_patch_size=(2, 2), norm_out=True, out_indices=3,
+    )
+    triplane_cfg = dict(
+        depths=(3, 3, 9, 3), channels=(96, 192, 384, 768),
+        in_channels=128, stem_patch_size=(1, 1), norm_out=True,
+        out_indices=3,
+    )
+    tm = TorchPointTriplane(camera_cfg, triplane_cfg)
+    tm.eval()
+    gen = torch.Generator().manual_seed(8)
+    for m in tm.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.normal_(0.0, 0.5, generator=gen)
+            m.running_var.uniform_(0.5, 2.0, generator=gen)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree, converted, skipped = convert_state_dict(sd)
+    assert all(
+        "norm3" in k or k.endswith("num_batches_tracked") for k in skipped
+    ), skipped
+    imported = split_collections(tree)
+
+    cfg = get_config("point_triplane")["model"]
+    cfg["surface_decoder"] = None  # stochastic; proven separately
+    model = build_model(cfg)
+    batch = synthetic_batch(1, point_budget=4096, with_occ=False, seed=6)
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.key(0)}, b, deterministic=True
+        )
+    )(batch)
+    merged, n_ok, n_all = partial_load(
+        variables["params"], imported["params"]
+    )
+    assert n_ok == n_all, f"importer adopted {n_ok}/{n_all} params"
+    stats, s_ok, s_all = partial_load(
+        variables["batch_stats"], imported["batch_stats"]
+    )
+    assert s_ok == s_all, f"importer adopted {s_ok}/{s_all} batch_stats"
+    variables = {"params": merged, "batch_stats": stats}
+
+    with jax.default_matmul_precision("highest"):
+        losses = jax.jit(
+            lambda v, b: model.apply(v, b, deterministic=True)
+        )(variables, batch)
+    assert set(losses) == {"camera_loss"}
+    ours = float(losses["camera_loss"])
+
+    b = jax.tree.map(np.asarray, batch)
+    pts = [
+        torch.from_numpy(b.points[i][b.points_valid[i]])
+        for i in range(b.points.shape[0])
+    ]
+    with torch.no_grad():
+        ref = tm(
+            img=torch.from_numpy(b.img).permute(0, 1, 4, 2, 3),
+            points=pts,
+            lidar2img=torch.from_numpy(b.lidar2img),
+            resize=torch.from_numpy(np.asarray(b.cam_aug.resize)),
+            crop=torch.from_numpy(np.asarray(b.cam_aug.crop)),
+            flip=np.asarray(b.cam_aug.flip),
+        )
+    np.testing.assert_allclose(
+        ours, float(ref["camera_loss"]), rtol=2e-3, atol=2e-4
+    )

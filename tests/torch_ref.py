@@ -611,6 +611,117 @@ class PointTriplaneOcc(nn.Module):
         return self.decoder(voxel_feat)
 
 
+class PointTriplane(PointTriplaneOcc):
+    """point_triplane.py:313-435 camera-reconstruction branch — the
+    DETERMINISTIC pretrain loss (contrastive/surface draw runtime
+    randomness; their math is proven in test_stochastic_loss_parity by
+    replaying the jax-side draws).  Reuses the occ restatement's
+    voxelize/point_to_cam/projector/encoder/FPN chain; adds the
+    per-point triplane readout (:436-466), the pixel scatter
+    ``cam_rec_feat`` (:243-309, advanced-index LAST-write) and the MiT
+    reconstruction head."""
+
+    def __init__(self, camera_cfg, triplane_cfg, grid_size=(128, 128, 80),
+                 triplane_range=(-25, -25, -5, 25, 25, 3),
+                 triplane_voxel_size=(0.4, 0.4, 0.1),
+                 image_hw=(256, 512)):
+        nn.Module.__init__(self)
+        self.point_triplane_projector = PointTriplaneProjector(grid_size)
+        self.camera_encoder = ConvNeXt(**camera_cfg)
+        self.triplane_encoder = ConvNeXt(**triplane_cfg)
+        self.fpn = GeneralizedLSSFPN()
+        self.camera_decoder = MiTHead(
+            patch_size=(7, 7), stride=(4, 4), in_chans=96, embed_dim=96,
+            actual_patch_size=(4, 4), img_in_chans=3,
+        )
+        self.grid_size = grid_size
+        self.triplane_range = triplane_range
+        self.triplane_voxel_size = triplane_voxel_size
+        self.image_hw = image_hw
+
+    def sample_at_points(self, triplane, coords):
+        """point_triplane.py:436-466: per-axis grid_size normalization,
+        (1,1,Np,3) grid -> (C, Np) summed three-plane readout."""
+        vc = torch.zeros_like(coords)
+        for d in range(3):
+            vc[:, d] = (
+                coords[:, d] - self.triplane_range[d]
+            ) / self.triplane_voxel_size[d]
+            vc[:, d] = vc[:, d] / (self.grid_size[d] / 2) - 1
+        g = vc[None, None]  # (1, 1, Np, 3)
+        xy = F.grid_sample(triplane[0], g[..., [0, 1]], mode="bilinear",
+                           padding_mode="zeros")
+        yz = F.grid_sample(triplane[1], g[..., [1, 2]], mode="bilinear",
+                           padding_mode="zeros")
+        xz = F.grid_sample(triplane[2], g[..., [0, 2]], mode="bilinear",
+                           padding_mode="zeros")
+        return (xy + yz + xz).squeeze(0).squeeze(1)  # (C, Np)
+
+    def cam_rec_feat(self, coords, feats, lidar2img_b, resize_b, crop_b,
+                     flip_b):
+        """point_triplane.py:243-309 for one sample: project, floor
+        (``.type(torch.long)`` == floor for the >=0 valid range),
+        swap to (row, col), advanced-index assign (LAST write wins)."""
+        H, W = self.image_hw
+        N = lidar2img_b.shape[0]
+        C = feats.shape[0]
+        canvas = torch.zeros((N, C, H, W))
+        hom = torch.cat((coords, torch.ones_like(coords[..., :1])), -1)
+        cam_points = torch.einsum("cij,hj->chi", lidar2img_b, hom)
+        cam_points = cam_points[..., 0:2] / torch.clamp(
+            cam_points[..., 2:3], min=1e-5
+        )
+        for c in range(N):
+            coor = cam_points[c].clone()
+            coor[:, :2] = coor[:, :2] * resize_b[c]
+            coor[:, 0] -= crop_b[c, 0]
+            coor[:, 1] -= crop_b[c, 1]
+            if flip_b[c]:
+                coor[:, 0] = W - coor[:, 0]
+            # the h=0 "rotation" (:289-297) is the identity — omitted
+            valid = (
+                (coor[:, 1] < H) & (coor[:, 0] < W)
+                & (coor[:, 1] >= 0) & (coor[:, 0] >= 0)
+            )
+            vc = coor[valid, :].type(torch.long)
+            vc[:, [0, 1]] = vc[:, [1, 0]]
+            canvas[c][:, vc[:, 0], vc[:, 1]] = feats[:, valid]
+        return canvas
+
+    def forward(self, img, points, lidar2img, resize, crop, flip):
+        """point_triplane.py:336-381 camera-loss branch."""
+        B, N, C, H, W = img.shape
+        points, grid_ind = self.voxelize_points(points)
+        feats = self.camera_encoder(img.reshape(B * N, C, H, W))
+        feats = feats.reshape(B, N, *feats.shape[1:])
+        cam_pt = self.point_to_cam(
+            points, feats, lidar2img, resize, crop, flip
+        )
+        tpv = self.point_triplane_projector(points, grid_ind, cam_pt)
+        triplane = []
+        for tp in tpv:
+            scales = self.triplane_encoder.forward_all(tp)
+            triplane.append(self.fpn(scales))
+        cam_features = []
+        for i, pts in enumerate(points):
+            tri_i = [tp[i][None] for tp in triplane]
+            coords = pts[:, 0:3]
+            f = self.sample_at_points(tri_i, coords)
+            cam_features.append(
+                self.cam_rec_feat(
+                    coords, f, lidar2img[i], resize[i], crop[i], flip[i]
+                )
+            )
+        cam_pred = self.camera_decoder(torch.cat(cam_features, dim=0))
+        img_flat = img.reshape(B * N, C, H, W)
+        camera_mask = torch.ones_like(img_flat)
+        return {
+            "camera_loss": self.camera_decoder.forward_loss(
+                img_flat, cam_pred, camera_mask
+            )
+        }
+
+
 class Mlp(nn.Module):
     """Occ head (mlp.py:25-70)."""
 
