@@ -162,3 +162,60 @@ def test_sup_con_arbitrary_features_matches_torch():
     assert len(anchors) == 5  # label-6 cluster (8 members) ineligible
     ref = _torch_supcon(feats, labels.astype(np.int64), anchors)
     np.testing.assert_allclose(float(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_create_targets_geometry():
+    """The one InterpNet piece the replay tests can't cover: the
+    key->queries map itself.  Verify the reference's geometric
+    construction (interpnet.py:141-183) per third: ``in`` queries sit
+    +d*r beyond a valid support point ALONG ITS RAY (occupied=1),
+    ``out`` queries -d*r before one (0), ``out far`` queries are a
+    valid point scaled toward the origin (0); surplus picks beyond the
+    valid count are flagged invalid."""
+    P = 120
+    rng_np = np.random.default_rng(9)
+    pts = rng_np.uniform(1.0, 6.0, (P, 3)).astype(np.float32)
+    valid = np.ones(P, bool)
+    valid[12:] = False  # 12 valid points < the 30-query thirds
+
+    mod = InterpNet(n_non_manifold_pts=90, non_manifold_dist=0.1)
+    q, occ, q_valid = jax.tree.map(
+        np.asarray,
+        mod.create_targets(
+            jnp.asarray(pts), jnp.asarray(valid), jax.random.key(21)
+        ),
+    )
+    n_in = 90 - 2 * 30
+    assert (occ[:n_in] == 1).all() and (occ[n_in:] == 0).all()
+    # every valid query must be consistent with ONE valid support point
+    norms = np.linalg.norm(pts[valid], axis=-1)
+    units = pts[valid] / norms[:, None]
+    for j in range(90):
+        if not q_valid[j]:
+            continue
+        third = 0 if j < n_in else (1 if j < n_in + 30 else 2)
+        if third < 2:
+            # q = p +/- d*r*unit(p): same ray, |q|-|p| in [0, d] (in)
+            # or [-d, 0] (out)
+            delta = q[j][None] - pts[valid]
+            proj = np.abs((delta * units).sum(-1))
+            perp = np.linalg.norm(
+                delta - (delta * units).sum(-1, keepdims=True) * units,
+                axis=-1,
+            )
+            on_ray = (perp < 1e-4) & (proj <= 0.1 + 1e-5)
+            qn = np.linalg.norm(q[j])
+            sign_ok = (qn >= norms - 1e-5) if third == 0 else (
+                qn <= norms + 1e-5
+            )
+            assert (on_ray & sign_ok).any(), (j, third)
+        else:
+            # q = r*p for some valid p, r in [0, 1)
+            ratios = q[j][None] / pts[valid]
+            consistent = (
+                np.abs(ratios - ratios[:, :1]).max(-1) < 1e-4
+            ) & (ratios[:, 0] >= 0) & (ratios[:, 0] < 1.0)
+            assert consistent.any(), j
+    # each 30-query third drew from only 12 valid points -> surplus
+    # picks flagged invalid (the reference's randperm just draws fewer)
+    assert (~q_valid).sum() >= 3 * (30 - 12)
