@@ -54,6 +54,9 @@ def parse_args():
     p.add_argument("--only", choices=("infer", "train", "mae"), default=None)
     p.add_argument("--train", action="store_true",
                    help="legacy: same as --only train")
+    p.add_argument("--fused", action="store_true",
+                   help="use the flat fused AdamW (train/flat_opt.py) "
+                   "in the train sections")
     return p.parse_args()
 
 
@@ -215,7 +218,7 @@ def bench_infer(batch_size: int, iters: int):
     )
 
 
-def bench_occ_train(batch_size: int, iters: int):
+def bench_occ_train(batch_size: int, iters: int, fused: bool = False):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
@@ -224,6 +227,7 @@ def bench_occ_train(batch_size: int, iters: int):
 
     cfg = get_config("triplane_occ")
     cfg["model"]["dtype"] = jnp.bfloat16
+    cfg["optimizer"]["fused"] = fused
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size, with_occ=True, point_budget=4096, seed=0
@@ -240,7 +244,7 @@ def bench_occ_train(batch_size: int, iters: int):
     )
 
 
-def bench_mae_train(batch_size: int, iters: int):
+def bench_mae_train(batch_size: int, iters: int, fused: bool = False):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
@@ -249,6 +253,7 @@ def bench_mae_train(batch_size: int, iters: int):
 
     cfg = get_config("triplane_range_cam")
     cfg["model"]["dtype"] = jnp.bfloat16
+    cfg["optimizer"]["fused"] = fused
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size,
@@ -322,9 +327,12 @@ def main():
     runners = {
         "infer": lambda: bench_infer(args.batch_size, args.iters),
         "train": lambda: bench_occ_train(
-            min(args.batch_size, 2), max(10, args.iters // 3)
+            min(args.batch_size, 2), max(10, args.iters // 3),
+            fused=args.fused,
         ),
-        "mae": lambda: bench_mae_train(1, max(8, args.iters // 4)),
+        "mae": lambda: bench_mae_train(
+            1, max(8, args.iters // 4), fused=args.fused
+        ),
     }
     for name in plan:
         try:

@@ -155,3 +155,78 @@ def circle_nms(boxes_xy_r, thresh: float, post_max_size: int = 83):
         d = (b[i + 1 :, 0] - b[i, 0]) ** 2 + (b[i + 1 :, 1] - b[i, 1]) ** 2
         suppressed[i + 1 :] |= d <= thresh
     return keep[:post_max_size]
+
+
+# ---------------------------------------------------------------------------
+# Coordinate-mode conversions (Box3DMode / Coord3DMode)
+# ---------------------------------------------------------------------------
+# Rebuilds ``core/bbox/structures/box_3d_mode.py:63-170`` and
+# ``coord_3d_mode.py:181-260``: LiDAR (x fwd, y left, z up), CAM (x right,
+# y down, z fwd), DEPTH (x right, y fwd, z up).  The reference rotates the
+# center through a fixed (or caller-supplied) rt matrix and PERMUTES the
+# size triplet; everything from column 6 on (yaw, velocity, scores) is
+# carried through untouched — including yaw, a known quirk of this
+# reference version that we reproduce exactly (the yaw axis changes
+# meaning with the frame; downstream consumers re-interpret it).
+
+LIDAR, CAM, DEPTH = 0, 1, 2
+
+# (src, dst) -> (default 3x3 rt, size-permutation over (dx, dy, dz))
+_MODE_RULES = {
+    (LIDAR, CAM): ([[0, -1, 0], [0, 0, -1], [1, 0, 0]], (1, 2, 0)),
+    (CAM, LIDAR): ([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], (2, 0, 1)),
+    (DEPTH, CAM): ([[1, 0, 0], [0, 0, 1], [0, -1, 0]], (0, 2, 1)),
+    (CAM, DEPTH): ([[1, 0, 0], [0, 0, -1], [0, 1, 0]], (0, 2, 1)),
+    (LIDAR, DEPTH): ([[0, -1, 0], [1, 0, 0], [0, 0, 1]], (1, 0, 2)),
+    (DEPTH, LIDAR): ([[0, 1, 0], [-1, 0, 0], [0, 0, 1]], (1, 0, 2)),
+}
+
+
+def _apply_rt(xyz: np.ndarray, rt_mat) -> np.ndarray:
+    rt = np.asarray(rt_mat, np.float64)
+    if rt.shape[-1] == 4:  # homogeneous sensor extrinsics
+        hom = np.concatenate([xyz, np.ones_like(xyz[:, :1])], axis=1)
+        return (hom @ rt.T)[:, :3]
+    return xyz @ rt.T
+
+
+def box_mode_convert(
+    boxes: np.ndarray, src: int, dst: int, rt_mat=None
+) -> np.ndarray:
+    """Convert ``(N, >=7)`` boxes between LIDAR/CAM/DEPTH frames.
+
+    ``rt_mat`` overrides the canonical axis swap with real sensor
+    extrinsics (3x3 or 4x4), exactly like the reference's optional
+    argument.  Returns a new float64-upcast-free array of input dtype.
+    """
+    b = np.array(boxes, copy=True)
+    if src == dst:
+        return b
+    if (src, dst) not in _MODE_RULES:
+        raise NotImplementedError(f"Box3DMode {src} -> {dst}")
+    default_rt, perm = _MODE_RULES[(src, dst)]
+    xyz = _apply_rt(
+        np.asarray(b[:, :3], np.float64),
+        default_rt if rt_mat is None else rt_mat,
+    )
+    b[:, :3] = xyz.astype(b.dtype)
+    b[:, 3:6] = b[:, 3:6][:, list(perm)]
+    return b
+
+
+def point_mode_convert(
+    points: np.ndarray, src: int, dst: int, rt_mat=None
+) -> np.ndarray:
+    """Convert ``(N, >=3)`` points between frames; extra dims carried."""
+    p = np.array(points, copy=True)
+    if src == dst:
+        return p
+    if (src, dst) not in _MODE_RULES:
+        raise NotImplementedError(f"Coord3DMode {src} -> {dst}")
+    default_rt, _ = _MODE_RULES[(src, dst)]
+    xyz = _apply_rt(
+        np.asarray(p[:, :3], np.float64),
+        default_rt if rt_mat is None else rt_mat,
+    )
+    p[:, :3] = xyz.astype(p.dtype)
+    return p

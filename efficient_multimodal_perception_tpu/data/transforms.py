@@ -122,3 +122,45 @@ def object_name_filter(sample: dict, keep_labels) -> dict:
     sample["gt_labels_3d"] = lab[m]
     sample["gt_bboxes_3d"] = sample["gt_bboxes_3d"][m]
     return sample
+
+
+def points_to_image_depth(
+    points: np.ndarray,
+    lidar2image: np.ndarray,
+    lidar2camera: np.ndarray,
+    image_hw,
+    min_dist: float = 1.0,
+) -> np.ndarray:
+    """Per-camera 2.5-D depth annotations from the LiDAR cloud.
+
+    Equivalent of ``LoadAnnotations3D``'s depth option
+    (``pipelines/loading.py:538-576`` — ``_get_lidar_depth`` /
+    ``_map_pointcloud_to_image``): points go through ``lidar2camera``
+    for the metric depth (camera-frame z) and ``lidar2image`` for the
+    pixel position; points closer than ``min_dist`` or out of frame are
+    dropped.  Host-side numpy like the rest of the annotation loaders
+    (ragged output — this never feeds a jitted graph; it exists for the
+    2.5-D box supervision surface, dead on every triplane hot path).
+
+    Args:
+        points: ``(N, >=3)`` LiDAR-frame points.
+        lidar2image: ``(4, 4)`` projection for ONE camera.
+        lidar2camera: ``(4, 4)`` extrinsics for the same camera.
+        image_hw: ``(H, W)`` of the undistorted image.
+
+    Returns:
+        ``(M, 3)`` float32 rows of ``(u, v, depth)`` for the kept points.
+    """
+    H, W = image_hw
+    xyz = np.asarray(points, np.float64)[:, :3]
+    hom = np.concatenate([xyz, np.ones_like(xyz[:, :1])], axis=1)
+    depth = (hom @ np.asarray(lidar2camera, np.float64).T)[:, 2]
+    img = hom @ np.asarray(lidar2image, np.float64).T
+    uv = img[:, :2] / np.maximum(img[:, 2:3], 1e-5)
+    keep = (
+        (depth > min_dist)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < W)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+    )
+    out = np.concatenate([uv[keep], depth[keep, None]], axis=1)
+    return out.astype(np.float32)

@@ -26,8 +26,16 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis batch sharding for every leaf of a Batch pytree."""
-    return NamedSharding(mesh, P("data"))
+    """Leading-axis batch sharding for every leaf of a Batch pytree.
+
+    On a 1-D ``('data',)`` mesh this is plain DP.  On a 2/3-D FSDP/TP
+    mesh (``parallel/fsdp.make_mesh_2d``) the batch shards over *both*
+    the data and fsdp axes — FSDP is ZeRO over the data-parallel ranks,
+    so every (data, fsdp) coordinate holds a distinct batch slice while
+    ``model`` coordinates replicate it.
+    """
+    axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes if len(axes) > 1 else "data"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

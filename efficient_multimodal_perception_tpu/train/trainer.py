@@ -126,7 +126,13 @@ def make_optimizer(
     params,
     freeze_prefixes: Sequence[str] = (),
 ):
-    """optax chain mirroring the reference's optimizer+lr configs."""
+    """optax chain mirroring the reference's optimizer+lr configs.
+
+    ``optimizer.fused=True`` swaps in the flat single-vector AdamW
+    (``train/flat_opt.py`` — same math, locked by
+    ``tests/test_flat_opt.py``) whose update compiles to a handful of
+    full-bandwidth kernels instead of one fusion per parameter tensor.
+    """
     opt_cfg = cfg["optimizer"]
     sched = cosine_schedule(
         opt_cfg["lr"],
@@ -135,6 +141,20 @@ def make_optimizer(
         cfg["lr_config"].get("warmup_ratio", 0.1),
         cfg["lr_config"].get("min_lr_ratio", 0.1),
     )
+    if opt_cfg.get("fused"):
+        from .flat_opt import flat_adamw
+
+        mask = (
+            freeze_mask(params, freeze_prefixes) if freeze_prefixes else None
+        )
+        return flat_adamw(
+            sched,
+            b1=opt_cfg["betas"][0],
+            b2=opt_cfg["betas"][1],
+            weight_decay=opt_cfg.get("weight_decay", 1e-3),
+            grad_clip=cfg.get("grad_clip", 35.0),
+            mask=mask,
+        )
     adamw = optax.chain(
         optax.clip_by_global_norm(cfg.get("grad_clip", 35.0)),
         optax.adamw(
@@ -172,6 +192,8 @@ def make_train_step(
     rng_names: Sequence[str] = (),
     deterministic: bool = False,
     donate: bool = True,
+    state_shardings=None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -180,6 +202,20 @@ def make_train_step(
     log_vars are already the global means (loss is computed on the local
     shard and averaged implicitly through the mean reduction of each
     loss term over batch elements).
+
+    ``state_shardings`` (a NamedSharding pytree from
+    ``parallel.fsdp.state_shardings``) pins the TrainState's FSDP/TP
+    layout on both sides of the step, so weights stay reduce-scattered
+    across steps and XLA only materializes the gathered form transiently
+    inside the step.
+
+    ``accum_steps > 1`` splits the batch into that many micro-batches
+    (leading axis must divide) and averages their gradients/losses via
+    ``lax.scan`` before the single optimizer update — the few-chip
+    equivalent of the reference's 6-GPU DDP global batch (its semantics
+    exactly: DDP *averages* per-rank grads of per-rank mean losses, so a
+    loss normalized within each micro-batch composes the same way).
+    BatchNorm running stats thread through the scan sequentially.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -202,11 +238,57 @@ def make_train_step(
         new_stats = new_vars.get("batch_stats", batch_stats)
         return loss, (losses, new_stats)
 
+    def grads_of(state, batch, rng):
+        if accum_steps <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, rng
+            )
+
+        def split(x):
+            n = x.shape[0]
+            assert n % accum_steps == 0, (
+                f"batch {n} not divisible by accum_steps {accum_steps}"
+            )
+            return x.reshape(accum_steps, n // accum_steps, *x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+
+        def body(carry, xs):
+            g_acc, loss_acc, losses_acc, stats = carry
+            mb, i = xs
+            (loss, (losses, stats)), g = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, stats, mb, jax.random.fold_in(rng, i))
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            losses = {k: jnp.asarray(v, jnp.float32) for k, v in
+                      losses.items()}
+            losses_acc = jax.tree.map(jnp.add, losses_acc, losses)
+            return (g_acc, loss_acc + loss, losses_acc, stats), None
+
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        # probe one micro-batch's loss keys abstractly for the accumulator
+        losses0_shape = jax.eval_shape(
+            lambda: loss_fn(
+                state.params, state.batch_stats,
+                jax.tree.map(lambda x: x[0], micro),
+                jax.random.fold_in(rng, 0),
+            )
+        )[1][0]
+        losses0 = {k: jnp.zeros((), jnp.float32) for k in losses0_shape}
+        (g_sum, loss_sum, losses_sum, new_stats), _ = jax.lax.scan(
+            body,
+            (g0, jnp.zeros((), jnp.float32), losses0, state.batch_stats),
+            (micro, jnp.arange(accum_steps)),
+        )
+        inv = 1.0 / accum_steps
+        return (
+            loss_sum * inv,
+            ({k: v * inv for k, v in losses_sum.items()}, new_stats),
+        ), jax.tree.map(lambda g: g * inv, g_sum)
+
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rng)
+        (loss, (losses, new_stats)), grads = grads_of(state, batch, rng)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -222,7 +304,13 @@ def make_train_step(
         )
         return new_state, log_vars
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    kwargs = {}
+    if state_shardings is not None:
+        kwargs["in_shardings"] = (state_shardings, None, None)
+        kwargs["out_shardings"] = (state_shardings, None)
+    return jax.jit(
+        step_fn, donate_argnums=(0,) if donate else (), **kwargs
+    )
 
 
 def init_state(

@@ -30,3 +30,13 @@ os.environ["XLA_FLAGS"] = flags.strip()
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by
+# full/tiny-model CPU compiles that are identical run-over-run; caching
+# the serialized executables cuts repeat suite time dramatically on this
+# 1-core host.  Separate dir from the TPU bench cache (/tmp/jax_cache).
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass

@@ -67,3 +67,43 @@ def test_circle_nms():
     b = np.array([[0.0, 0.0, 0], [0.5, 0.0, 0], [5.0, 0.0, 0]])
     keep = circle_nms(b, thresh=1.0)
     assert keep == [0, 2]
+
+
+def test_box_mode_convert_roundtrips_and_examples():
+    """Box3DMode.convert law (box_3d_mode.py:63-170): rotated center,
+    permuted sizes, yaw/velocity carried untouched."""
+    from efficient_multimodal_perception_tpu.core.boxes import (
+        CAM,
+        DEPTH,
+        LIDAR,
+        box_mode_convert,
+        point_mode_convert,
+    )
+
+    box = np.array([[10.0, 2.0, -1.0, 4.0, 2.0, 1.5, 0.3, 1.0, -2.0]])
+    # LiDAR (x fwd, y left, z up) -> CAM (x right, y down, z fwd):
+    # x_cam = -y_l, y_cam = -z_l, z_cam = x_l; sizes (dx,dy,dz)->(dy,dz,dx)
+    cam = box_mode_convert(box, LIDAR, CAM)
+    np.testing.assert_allclose(cam[0, :3], [-2.0, 1.0, 10.0])
+    np.testing.assert_allclose(cam[0, 3:6], [2.0, 1.5, 4.0])
+    np.testing.assert_allclose(cam[0, 6:], box[0, 6:])  # yaw quirk: untouched
+
+    # all 6 directed pairs round-trip to identity
+    for a, b in [(LIDAR, CAM), (CAM, DEPTH), (LIDAR, DEPTH)]:
+        back = box_mode_convert(box_mode_convert(box, a, b), b, a)
+        np.testing.assert_allclose(back, box, atol=1e-12)
+
+    # centers convert exactly like points
+    pts = box[:, :3].copy()
+    np.testing.assert_allclose(
+        point_mode_convert(pts, LIDAR, DEPTH),
+        box_mode_convert(box, LIDAR, DEPTH)[:, :3],
+    )
+
+    # 4x4 homogeneous rt_mat (real sensor extrinsics path)
+    rt = np.eye(4)
+    rt[:3, 3] = [1.0, 2.0, 3.0]
+    shifted = box_mode_convert(box, LIDAR, CAM, rt_mat=rt)
+    np.testing.assert_allclose(shifted[0, :3], box[0, :3] + [1, 2, 3])
+    # sizes still permuted by the (src, dst) rule even with custom rt
+    np.testing.assert_allclose(shifted[0, 3:6], [2.0, 1.5, 4.0])

@@ -185,3 +185,50 @@ def test_waymo_dataset_fixture(tmp_path):
     assert list(s["gt_names"]) == ["Car", "Pedestrian", "Cyclist"]
     # load_interval subsetting (waymo_dataset.py load_interval semantics)
     assert len(WaymoDataset(cfg, split="train", load_interval=2)) == 1
+
+
+def test_points_to_image_depth_pinhole():
+    """2.5-D depth annotations: a hand-built pinhole camera oracle.
+
+    Camera looks down +x (lidar) = +z (camera); fx=fy=100, cx=320,
+    cy=240.  A point at lidar (10, 1, 2) must land at
+    u = cx - fy_ratio..., computed explicitly below.
+    """
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.data.transforms import (
+        points_to_image_depth,
+    )
+
+    # lidar->camera: camera z = lidar x, camera x = -lidar y,
+    # camera y = -lidar z (standard front-cam rig)
+    l2c = np.array(
+        [
+            [0, -1, 0, 0],
+            [0, 0, -1, 0],
+            [1, 0, 0, 0],
+            [0, 0, 0, 1],
+        ],
+        np.float64,
+    )
+    K = np.array(
+        [
+            [100, 0, 320, 0],
+            [0, 100, 240, 0],
+            [0, 0, 1, 0],
+            [0, 0, 0, 1],
+        ],
+        np.float64,
+    )
+    l2i = K @ l2c
+    pts = np.array(
+        [
+            [10.0, 1.0, 2.0],   # visible: u=320-100*(1/10)=310, v=240-20=220
+            [0.5, 0.0, 0.0],    # closer than min_dist -> dropped
+            [10.0, 40.0, 0.0],  # projects far out of frame -> dropped
+            [-5.0, 0.0, 0.0],   # behind the camera -> dropped
+        ]
+    )
+    out = points_to_image_depth(pts, l2i, l2c, (480, 640), min_dist=1.0)
+    assert out.shape == (1, 3)
+    np.testing.assert_allclose(out[0], [310.0, 220.0, 10.0], atol=1e-4)

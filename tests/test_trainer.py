@@ -65,3 +65,63 @@ def test_evaluator_occ_metrics():
                        ("vehicle",))
     assert set(metrics) >= {"ce", "iou", "miou", "iou_vehicle"}
     assert np.isfinite(metrics["ce"])
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 == one full-batch step (DDP-averaging semantics).
+
+    Uses a toy model whose loss is a per-sample mean, so the mean of
+    micro-batch means equals the full-batch mean exactly (up to f32
+    reduction order).
+    """
+    import dataclasses
+
+    import flax.linen as nn
+
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            x = batch["x"]
+            y = nn.Dense(4)(nn.tanh(nn.Dense(8)(x)))
+            loss = jnp.mean((y - batch["t"]) ** 2)
+            return {"rec_loss": loss}
+
+    cfg = {
+        "optimizer": dict(type="AdamW", lr=1e-3, betas=(0.95, 0.99),
+                          weight_decay=1e-3),
+        "grad_clip": 35.0,
+        "lr_config": dict(warmup_iters=5, warmup_ratio=0.1,
+                          min_lr_ratio=0.1),
+    }
+    k = jax.random.key(0)
+    batch = {
+        "x": jax.random.normal(k, (4, 6)),
+        "t": jax.random.normal(jax.random.fold_in(k, 1), (4, 4)),
+    }
+    model = Toy()
+    opt = make_optimizer(cfg, 100, None)
+
+    def run(accum):
+        state = init_state(model, batch, opt, seed=0)
+        step = make_train_step(model, opt, donate=False,
+                               accum_steps=accum)
+        logs = None
+        for _ in range(3):
+            state, logs = step(state, batch, jax.random.key(5))
+        return jax.device_get(state.params), logs
+
+    p1, l1 = run(1)
+    p2, l2 = run(2)
+    np.testing.assert_allclose(
+        float(l1["rec_loss"]), float(l2["rec_loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)

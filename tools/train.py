@@ -49,6 +49,21 @@ def parse_args():
     )
     p.add_argument("--eval-samples", type=int, default=64)
     p.add_argument("--cfg-options", nargs="*", default=None)
+    p.add_argument(
+        "--fsdp", type=int, default=1,
+        help="shard params + Adam moments over this many devices "
+        "(ZeRO-3 over the data ranks; parallel/fsdp.py)",
+    )
+    p.add_argument(
+        "--accum-steps", type=int, default=1,
+        help="gradient accumulation micro-steps per optimizer update "
+        "(DDP-averaging semantics; batch must divide)",
+    )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel size for the MiT neck (Megatron "
+        "column/row rules over the 'model' mesh axis)",
+    )
     return p.parse_args()
 
 
@@ -102,16 +117,31 @@ def main():
     from efficient_multimodal_perception_tpu.utils.env import env_string
 
     print(env_string())
-    mesh = make_mesh()
+    if args.fsdp > 1 or args.tp > 1:
+        from efficient_multimodal_perception_tpu.parallel.fsdp import (
+            make_mesh_2d,
+        )
+
+        n_all = len(jax.devices())
+        mesh = make_mesh_2d(
+            data=n_all // (args.fsdp * args.tp),
+            fsdp=args.fsdp,
+            model=args.tp,
+        )
+    else:
+        mesh = make_mesh()
     n_dev = mesh.devices.size
-    print(f"devices: {n_dev} ({jax.devices()[0].platform})")
+    print(f"devices: {n_dev} ({jax.devices()[0].platform}) "
+          f"mesh={dict(mesh.shape)}")
 
     data_cfg = cfg["data"]
     needs = dict(
         with_occ=data_cfg.get("load_occ", False),
         with_elev=data_cfg.get("load_elev", False),
     )
-    batch_size = data_cfg["samples_per_device"] * n_dev
+    # the model (TP) axis replicates the batch; only data×fsdp ranks
+    # carry distinct samples
+    batch_size = data_cfg["samples_per_device"] * (n_dev // args.tp)
     # per-host loading: each process materializes only its slice of the
     # global batch (DistributedSampler equivalent, reference
     # tools/train.py:141-148); shard_batch assembles the global array
@@ -204,7 +234,17 @@ def main():
         )
 
         logger = MetricLogger(args.work_dir)
-        step_fn = make_train_step(model, optimizer, rng_names)
+        shardings = None
+        if args.fsdp > 1 or args.tp > 1:
+            from efficient_multimodal_perception_tpu.parallel.fsdp import (
+                shard_state,
+            )
+
+            state, shardings = shard_state(state, mesh)
+        step_fn = make_train_step(
+            model, optimizer, rng_names, state_shardings=shardings,
+            accum_steps=args.accum_steps,
+        )
         rng = jax.random.key(args.seed)
 
         step = int(state.step)
@@ -225,7 +265,9 @@ def main():
                 )
             )
             for b in it:
-                b = shard_batch(jax.tree.map(jnp.asarray, b), mesh)
+                # shard_batch device_puts numpy leaves directly; a
+                # jnp.asarray here would be a second host->device copy
+                b = shard_batch(b, mesh)
                 if args.profile and step == 5:
                     jax.profiler.start_trace(
                         os.path.join(args.work_dir, "profile")
