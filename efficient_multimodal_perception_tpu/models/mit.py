@@ -40,12 +40,35 @@ def _use_fused_attn(sr_ratio: int, dtype, n_tokens: int) -> bool:
     so this dispatches to the repo's own
     ``ops/pallas_kernels.attention_pallas`` -- exact f32 softmax, K/V
     VMEM-resident, no head padding."""
+    from ..parallel.fsdp import ambient_model_axis
+
     return (
         sr_ratio == 1
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
         and n_tokens % 512 == 0
+        # a Pallas call has no GSPMD partitioning rule: under tensor
+        # parallelism the einsum path (which GSPMD head-splits) wins
+        and ambient_model_axis() == 1
     )
+
+
+def _sp_constraint(x):
+    """Megatron sequence parallelism: tokens sharded over 'model'.
+
+    Applied to the (B, N, C) residual stream between the TP regions
+    (LN + residual adds are elementwise over tokens), so their
+    activations hold 1/tp of the sequence and GSPMD turns the TP
+    all-reduces into reduce-scatter + all-gather pairs.  No-op outside
+    a mesh with a real 'model' axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.fsdp import ambient_model_axis
+
+    if ambient_model_axis() <= 1 or x.shape[1] % ambient_model_axis():
+        return x
+    return jax.lax.with_sharding_constraint(x, P(None, "model", None))
 
 
 def _fused_attn(q, k, v, scale):
@@ -156,23 +179,26 @@ class MiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     sr_ratio: int = 1
+    sp: bool = False  # sequence-parallel residual stream (Megatron SP)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, hw: Tuple[int, int]):
-        x = x + EfficientAttention(
+        sp = _sp_constraint if self.sp else (lambda y: y)
+        x = sp(x)
+        x = sp(x + EfficientAttention(
             self.dim,
             num_heads=self.num_heads,
             sr_ratio=self.sr_ratio,
             dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), hw)
-        x = x + MixFFN(
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), hw))
+        x = sp(x + MixFFN(
             self.dim,
             int(self.dim * self.mlp_ratio),
             dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), hw)
+        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), hw))
         return x
 
 
@@ -224,6 +250,7 @@ class MixVisionTransformer(nn.Module):
     in_chans: int = 768
     embed_dim: int = 768
     high: bool = False  # MixVisionTransformerHigh variant (mit.py:381-479)
+    sp: bool = False  # sequence-parallel blocks (set by --sp under TP)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -244,6 +271,7 @@ class MixVisionTransformer(nn.Module):
                 num_heads=4,
                 mlp_ratio=2,
                 sr_ratio=1,
+                sp=self.sp,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, (H, W))

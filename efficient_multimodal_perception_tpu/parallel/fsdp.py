@@ -51,6 +51,23 @@ def make_mesh_2d(
     return Mesh(arr, ("data", "fsdp", "model"))
 
 
+def ambient_model_axis() -> int:
+    """Size of the 'model' axis of the ambient ``with mesh:`` context (or 1).
+
+    Trace-time introspection used by the neck to decide whether
+    tensor/sequence-parallel sharding constraints can resolve — outside
+    any mesh (unit tests, single-chip inference) they must not be
+    emitted at all.
+    """
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return dict(getattr(m, "shape", {})).get("model", 1)
+    except Exception:
+        return 1
+
+
 def _path_str(path) -> str:
     # str() the key itself too: multi_transform's inner_states dict is
     # keyed by the label values (True/False), not strings

@@ -232,3 +232,32 @@ def test_batch_sharding_spans_data_and_fsdp(setup):
     leaf = jax.tree_util.tree_leaves(b)[0]
     # 8 samples over 4 data×fsdp ranks -> 2 per shard, replicated over model
     assert leaf.addressable_shards[0].data.shape[0] * 4 == leaf.shape[0]
+
+
+def test_sp_neck_matches_non_sp():
+    """Sequence-parallel constraints are layout-only: same numerics.
+
+    The sp=True neck shards the (B, N, C) token axis over 'model'
+    between TP regions (models/mit.py::_sp_constraint); on the 2x2x2
+    mesh its output must match the unconstrained forward.
+    """
+    from efficient_multimodal_perception_tpu.models.mit import (
+        MixVisionTransformer,
+    )
+
+    kw = dict(img_size=(128, 32), patch_size=1, in_chans=64, embed_dim=64)
+    m0 = MixVisionTransformer(**kw)
+    m1 = MixVisionTransformer(sp=True, **kw)
+    x = jax.random.normal(jax.random.key(3), (2, 128, 32, 64), jnp.float32)
+    params = m0.init(jax.random.key(0), x)
+    y0 = jax.jit(m0.apply)(params, x)
+
+    mesh = fsdp.make_mesh_2d(jax.devices()[:8], data=2, fsdp=2, model=2)
+    with mesh:
+        y1 = jax.jit(m1.apply)(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), atol=2e-5, rtol=1e-5
+        )
+    # outside any mesh the sp flag is a no-op (constraint not emitted)
+    y2 = jax.jit(m1.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y2), atol=0)

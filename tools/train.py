@@ -64,6 +64,12 @@ def parse_args():
         help="tensor-parallel size for the MiT neck (Megatron "
         "column/row rules over the 'model' mesh axis)",
     )
+    p.add_argument(
+        "--sp", action="store_true",
+        help="sequence parallelism: shard the neck's token axis over "
+        "the 'model' mesh axis in the LN/residual regions (requires "
+        "--tp > 1)",
+    )
     return p.parse_args()
 
 
@@ -101,6 +107,13 @@ def main():
 
     cfg = get_config(args.config)
     apply_overrides(cfg, args.cfg_options)
+    if args.sp:
+        neck = cfg["model"].get("neck") or {}
+        if args.tp <= 1:
+            raise SystemExit("--sp requires --tp > 1")
+        if "MixVisionTransformer" not in neck.get("type", ""):
+            raise SystemExit("--sp supports MixVisionTransformer necks only")
+        neck["sp"] = True
     if args.data_root:
         cfg["data"]["data_root"] = args.data_root
     if args.ckpt_path:
