@@ -23,12 +23,33 @@ def _ckpt_dir(work_dir: str) -> str:
     return os.path.join(os.path.abspath(work_dir), "checkpoints")
 
 
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save has committed to disk.
+
+    Call before reading a just-written checkpoint and at train exit
+    (tools/train.py does both).
+    """
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
     work_dir: str,
     step: int,
     state: Any,
     max_keep: Optional[int] = None,
     meta: Optional[dict] = None,
+    async_save: bool = False,
 ) -> str:
     """Save a full TrainState pytree under ``work_dir/checkpoints/<step>``.
 
@@ -38,11 +59,21 @@ def save_checkpoint(
     CLASSES, …) is written as a sibling ``step_<N>.meta.json`` — the
     counterpart of the meta dict mmcv embeds in the checkpoint file
     (reference ``tools/train.py:213-222``).
+
+    ``async_save=True`` hands the device arrays to a background commit
+    (orbax AsyncCheckpointer) and returns as soon as they are snapshotted
+    — training resumes while the host writes; :func:`wait_for_saves`
+    joins.  Pruning only ever removes *older* steps, which by
+    construction are already committed, so it is safe in-flight.
     """
     path = os.path.join(_ckpt_dir(work_dir), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
     if meta is not None:
         import json
 

@@ -68,3 +68,32 @@ def test_freeze_mask_prefixes():
     assert mask["encoder"]["w"] is False
     assert mask["neck"]["w"] is False
     assert mask["decoder"]["w"] is True
+
+
+def test_async_save_roundtrip_and_latest(tmp_path):
+    """async_save commits in the background; wait_for_saves joins it.
+
+    Also locks the --auto-resume helper: latest_checkpoint picks the
+    highest step.
+    """
+    from efficient_multimodal_perception_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.int32(7)}
+    save_checkpoint(str(tmp_path), 1, state, async_save=True)
+    save_checkpoint(
+        str(tmp_path), 3,
+        {**state, "step": jnp.int32(9)},
+        async_save=True,
+    )
+    wait_for_saves()
+    path = latest_checkpoint(str(tmp_path))
+    assert path.endswith("step_3")
+    got = restore_checkpoint(path, state)
+    np.testing.assert_array_equal(np.asarray(got["w"]),
+                                  np.asarray(state["w"]))
+    assert int(got["step"]) == 9

@@ -29,6 +29,15 @@ def parse_args():
     p.add_argument("--work-dir", required=True)
     p.add_argument("--data-root", default=None)
     p.add_argument("--resume-from", default=None)
+    p.add_argument(
+        "--auto-resume", action="store_true",
+        help="resume from the latest checkpoint in --work-dir, if any",
+    )
+    p.add_argument(
+        "--async-ckpt", action="store_true",
+        help="commit checkpoints in a background thread (orbax "
+        "AsyncCheckpointer); training continues while the host writes",
+    )
     p.add_argument("--ckpt-path", default=None,
                    help="pretrained encoder checkpoint (partial load)")
     p.add_argument("--max-steps", type=int, default=None)
@@ -238,9 +247,12 @@ def main():
 
         optimizer = make_optimizer(cfg, total_steps, state.params, freeze)
         state = _dc.replace(state, opt_state=optimizer.init(state.params))
-        if args.resume_from:
-            state = ckpt.restore_checkpoint(args.resume_from, state)
-            print(f"resumed from {args.resume_from} @ step {int(state.step)}")
+        resume_path = args.resume_from
+        if not resume_path and args.auto_resume:
+            resume_path = ckpt.latest_checkpoint(args.work_dir)
+        if resume_path:
+            state = ckpt.restore_checkpoint(resume_path, state)
+            print(f"resumed from {resume_path} @ step {int(state.step)}")
 
         from efficient_multimodal_perception_tpu.utils.logging import (
             MetricLogger,
@@ -320,6 +332,7 @@ def main():
                         epoch=epoch,
                         step=step,
                     ),
+                    async_save=args.async_ckpt,
                 )
                 print(f"saved {path}", flush=True)
             if args.eval_interval and epoch % args.eval_interval == 0:
@@ -369,6 +382,7 @@ def main():
                 logger.log(step, {f"val/{k}": v for k, v in metrics.items()})
                 print(f"[eval @ epoch {epoch}] {metrics}", flush=True)
 
+    ckpt.wait_for_saves()
     print("done")
 
 
