@@ -244,14 +244,19 @@ def bench_occ_train(batch_size: int, iters: int, fused: bool = False):
     )
 
 
-def bench_mae_train(batch_size: int, iters: int, fused: bool = False):
+def bench_mae_train(
+    batch_size: int,
+    iters: int,
+    fused: bool = False,
+    config: str = "triplane_range_cam",
+):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
     )
     from efficient_multimodal_perception_tpu.models.builder import build_model
 
-    cfg = get_config("triplane_range_cam")
+    cfg = get_config(config)
     cfg["model"]["dtype"] = jnp.bfloat16
     cfg["optimizer"]["fused"] = fused
     model = build_model(cfg["model"])
