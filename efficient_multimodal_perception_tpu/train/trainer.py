@@ -194,6 +194,7 @@ def make_train_step(
     donate: bool = True,
     state_shardings=None,
     accum_steps: int = 1,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -216,6 +217,13 @@ def make_train_step(
     exactly: DDP *averages* per-rank grads of per-rank mean losses, so a
     loss normalized within each micro-batch composes the same way).
     BatchNorm running stats thread through the scan sequentially.
+
+    ``remat=True`` wraps the whole forward in ``jax.checkpoint``: the
+    backward pass recomputes activations instead of keeping them in HBM
+    (~1 extra forward of FLOPs for an activation footprint of roughly
+    the model inputs/outputs) — the standard TPU lever for batch sizes
+    the un-remat'd step would OOM on.  Identical numerics (locked by
+    ``test_remat_step_matches``).
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -226,13 +234,18 @@ def make_train_step(
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out, new_vars = model.apply(
-            variables,
-            batch,
-            deterministic=deterministic,
-            rngs=rngs,
-            mutable=mutable,
-        )
+        def fwd(variables, batch):
+            return model.apply(
+                variables,
+                batch,
+                deterministic=deterministic,
+                rngs=rngs,
+                mutable=mutable,
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        out, new_vars = fwd(variables, batch)
         losses = normalize_output(out)
         loss = total_loss(losses)
         new_stats = new_vars.get("batch_stats", batch_stats)

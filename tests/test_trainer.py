@@ -125,3 +125,54 @@ def test_grad_accumulation_matches_full_batch():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_remat_step_matches():
+    """remat=True (jax.checkpoint over the forward) is numerics-neutral.
+
+    Uses the tiny occupancy model (real encoder/neck/head with droppath
+    rngs and a non-trivial backward) — params after 2 steps must be
+    bit-compatible with the un-remat'd step.
+    """
+    from efficient_multimodal_perception_tpu.configs.tiny import tiny_occ
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import build_model
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = {
+        "optimizer": dict(type="AdamW", lr=1e-3, betas=(0.95, 0.99),
+                          weight_decay=1e-3),
+        "grad_clip": 35.0,
+        "lr_config": dict(warmup_iters=5, warmup_ratio=0.1,
+                          min_lr_ratio=0.1),
+    }
+    model = build_model(tiny_occ())
+    batch = synthetic_batch(2, with_occ=True, point_budget=512, seed=0)
+    opt = make_optimizer(cfg, 100, None)
+
+    def run(remat):
+        state = init_state(model, batch, opt, seed=0,
+                           rng_names=("droppath",))
+        step = make_train_step(model, opt, rng_names=("droppath",),
+                               donate=False, remat=remat)
+        logs = None
+        for _ in range(2):
+            state, logs = step(state, batch, jax.random.key(5))
+        return jax.device_get(state.params), logs
+
+    p0, l0 = run(False)
+    p1, l1 = run(True)
+    np.testing.assert_allclose(float(l0["loss"]), float(l1["loss"]),
+                               rtol=1e-6)
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1))
+    )
+    assert worst < 1e-6, worst

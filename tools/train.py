@@ -34,6 +34,12 @@ def parse_args():
         help="resume from the latest checkpoint in --work-dir, if any",
     )
     p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize activations in the backward pass "
+        "(jax.checkpoint over the forward; trades ~1 forward of FLOPs "
+        "for an activation-memory floor)",
+    )
+    p.add_argument(
         "--async-ckpt", action="store_true",
         help="commit checkpoints in a background thread (orbax "
         "AsyncCheckpointer); training continues while the host writes",
@@ -268,7 +274,7 @@ def main():
             state, shardings = shard_state(state, mesh)
         step_fn = make_train_step(
             model, optimizer, rng_names, state_shardings=shardings,
-            accum_steps=args.accum_steps,
+            accum_steps=args.accum_steps, remat=args.remat,
         )
         rng = jax.random.key(args.seed)
 
