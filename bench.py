@@ -144,7 +144,8 @@ def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
 
     state = _cpu_init(build)
     return state, make_train_step(model, optimizer=opt_holder[0],
-                                  rng_names=rng_names)
+                                  rng_names=rng_names,
+                                  freeze_prefixes=freeze)
 
 
 def _device_batch(batch):

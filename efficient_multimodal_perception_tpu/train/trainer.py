@@ -195,6 +195,7 @@ def make_train_step(
     state_shardings=None,
     accum_steps: int = 1,
     remat: bool = False,
+    freeze_prefixes: Sequence[str] = (),
 ) -> Callable:
     """Build the jitted train step.
 
@@ -218,6 +219,18 @@ def make_train_step(
     loss normalized within each micro-batch composes the same way).
     BatchNorm running stats thread through the scan sequentially.
 
+    ``freeze_prefixes`` (same tokens as :func:`make_optimizer`) applies
+    ``stop_gradient`` to the frozen params inside the loss, so their
+    gradients are structural zeros.  This matches torch
+    ``requires_grad=False`` exactly — frozen tensors contribute nothing
+    to the logged/clipped grad norm (``clip_grad_norm_`` skips
+    grad-less params) — and, when the frozen subtree is a prefix of the
+    network (the fine-tune configs freeze the whole encoder,
+    ``triplane_occ.py:83-91``), XLA dead-code-eliminates its entire
+    backward: the step computes only the forward through frozen stages.
+    Without it, ``value_and_grad`` over the full param tree materializes
+    encoder gradients that ``optax.set_to_zero`` then discards.
+
     ``remat=True`` wraps the whole forward in ``jax.checkpoint``: the
     backward pass recomputes activations instead of keeping them in HBM
     (~1 extra forward of FLOPs for an activation footprint of roughly
@@ -227,6 +240,12 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch, rng):
+        if freeze_prefixes:
+            trainable = freeze_mask(params, freeze_prefixes)
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, trainable,
+            )
         rngs = {name: jax.random.fold_in(rng, i) for i, name in
                 enumerate(rng_names)}
         variables = {"params": params}

@@ -127,6 +127,69 @@ def test_grad_accumulation_matches_full_batch():
                                    atol=1e-6)
 
 
+def test_freeze_prefixes_step_matches_and_skips_frozen_bwd():
+    """``freeze_prefixes`` in make_train_step (stop_gradient on frozen
+    params) is update-neutral vs the optimizer-only freeze:
+
+    * trainable params take bit-identical updates (the frozen grads were
+      already discarded by optax.set_to_zero),
+    * frozen params stay bit-identical to init,
+    * grad_norm now counts trainable params only (torch
+      ``clip_grad_norm_`` semantics — requires_grad=False params have no
+      grad), so it must be <= the old all-params norm.
+    """
+    import dataclasses
+
+    from efficient_multimodal_perception_tpu.configs.tiny import tiny_occ
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import build_model
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = {
+        "optimizer": dict(type="AdamW", lr=1e-3, betas=(0.95, 0.99),
+                          weight_decay=1e-3),
+        "grad_clip": 35.0,
+        "lr_config": dict(warmup_iters=5, warmup_ratio=0.1,
+                          min_lr_ratio=0.1),
+    }
+    freeze = ("encoder",)
+    model = build_model(tiny_occ())
+    batch = synthetic_batch(2, with_occ=True, point_budget=512, seed=0)
+
+    def run(freeze_in_step):
+        opt_probe = make_optimizer(cfg, 100, None)
+        state = init_state(model, batch, opt_probe, seed=0,
+                           rng_names=("droppath",))
+        opt = make_optimizer(cfg, 100, state.params, freeze)
+        state = dataclasses.replace(state, opt_state=opt.init(state.params))
+        step = make_train_step(
+            model, opt, rng_names=("droppath",), donate=False,
+            freeze_prefixes=freeze if freeze_in_step else (),
+        )
+        logs = None
+        for _ in range(2):
+            state, logs = step(state, batch, jax.random.key(5))
+        return jax.device_get(state.params), logs
+
+    p_old, l_old = run(False)
+    p_new, l_new = run(True)
+    flat_old = jax.tree_util.tree_leaves_with_path(p_old)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(p_new))
+    for path, a in flat_old:
+        b = flat_new[path]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(l_new["grad_norm"]) <= float(l_old["grad_norm"]) + 1e-6
+    assert float(l_new["grad_norm"]) > 0.0
+    np.testing.assert_allclose(float(l_old["loss"]), float(l_new["loss"]),
+                               rtol=1e-6)
+
+
 def test_remat_step_matches():
     """remat=True (jax.checkpoint over the forward) is numerics-neutral.
 

@@ -13,8 +13,13 @@ perf question the moment the axon tunnel is alive again:
    pretrain path (step was 141 ms, 7.05 samples/s).
 4. surf_sam train B=2 vs B=4 — did the sampler-bwd H-tiling (b6b850c)
    unlock B>=4 (r2: VMEM OOM)?
+5. occ train B=4 — with the frozen-encoder backward now DCE'd
+   (trainer freeze_prefixes stop_gradient), the step is much lighter;
+   does a bigger batch now win?
+6. MAE range_cam train B=2 — the r2 "zero batching gain" verdict
+   predates the fused epilogue/attention backwards; re-check.
 
-Usage: `python tools/measure_r3.py [--iters N] [--only 1,2,3,4]`
+Usage: `python tools/measure_r3.py [--iters N] [--only 1,..,6]`
 (sections fault-isolated; safe to rerun).  NEVER run concurrently with
 another TPU process.
 """
@@ -37,7 +42,7 @@ def main():
     p.add_argument("--only", default=None,
                    help="comma-separated subset of 1,2,3,4")
     args = p.parse_args()
-    only = set((args.only or "1,2,3,4").split(","))
+    only = set((args.only or "1,2,3,4,5,6").split(","))
 
     err = bench._preflight()
     if err is not None:
@@ -70,6 +75,16 @@ def main():
             ("surf_sam_train_B4",
              lambda: bench.bench_mae_train(
                  4, max(8, args.iters // 2), config="triplane_surf_sam")),
+        ]
+    if "5" in only:
+        jobs += [
+            ("occ_train_B4_fused",
+             lambda: bench.bench_occ_train(4, args.iters, fused=True)),
+        ]
+    if "6" in only:
+        jobs += [
+            ("mae_train_B2", lambda: bench.bench_mae_train(
+                2, max(8, args.iters // 2))),
         ]
 
     for name, fn in jobs:

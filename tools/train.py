@@ -275,6 +275,7 @@ def main():
         step_fn = make_train_step(
             model, optimizer, rng_names, state_shardings=shardings,
             accum_steps=args.accum_steps, remat=args.remat,
+            freeze_prefixes=freeze,
         )
         rng = jax.random.key(args.seed)
 
