@@ -83,14 +83,21 @@ def _flops_of(compiled) -> float:
 def _cpu_init(make_variables):
     """Run the (jitted) init on the CPU backend and ship the params to
     the default device — a CPU compile + one weight transfer is minutes
-    cheaper than a full-model remote TPU compile of the init graph."""
+    cheaper than a full-model remote TPU compile of the init graph.
+
+    The transfer target MUST be explicit: ``jax.device_put(x)`` with no
+    device leaves an uncommitted CPU array where it is, and every
+    compiled call then re-uploads it through the ~30 MB/s tunnel —
+    292 MB of triplane_occ params made each "84 ms" inference step take
+    6-30 s (diagnosed on-chip this round; params showed
+    ``{CpuDevice(0)}, committed=False``)."""
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return make_variables()
     with jax.default_device(cpu):
         variables = make_variables()
-    return jax.device_put(variables)
+    return jax.device_put(variables, jax.devices()[0])
 
 
 def _fused_attn_flops(cfg, batch_size: int, dtype) -> float:

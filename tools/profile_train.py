@@ -87,6 +87,10 @@ def main():
     state, step_fn = bench._make_train_state(
         cfg, model, batch, rng_names, frozen=False
     )
+    # params are re-passed to every compiled call below — they must be
+    # committed on-device or each call re-uploads them (see
+    # bench._cpu_init docstring)
+    state = jax.device_put(state, jax.devices()[0])
     batch = bench._device_batch(batch)
     rng = jax.random.key(0)
 
