@@ -31,7 +31,9 @@ DEFAULT_BLOCK = 256
 # Scoped-VMEM budget for the sampler backward's 3 f32 plane-grad
 # accumulators; larger shapes tile their H axis (tests shrink this to
 # force the tiled path at toy sizes).
-_BWD_ACC_BUDGET = 8_000_000
+# Scoped-VMEM budget for the sampler-bwd accumulator copies (the 16 MB
+# Mosaic stack limit minus input double-buffers and slack).
+_BWD_SCOPED_BUDGET = 15_000_000
 
 
 def _axis_weights(coord, size, block, window=None, offset=0):
@@ -156,9 +158,15 @@ def _sample_bwd(block, interpret, res, g):
 
     # Tile the accumulators' H axis so the 3 per-plane f32 grad blocks
     # stay within ~6 MB of scoped VMEM (they're revisited across point
-    # blocks, plus double-buffering on the (b, t) change).
+    # blocks, plus double-buffering on the (b, t) change).  Measured on
+    # v5e (r3): at B>=3 Mosaic TRIPLE-buffers the revisited output
+    # windows — surf_sam B=4 hit 19.21M scoped = 3 x the 6.29 MB
+    # accumulator set + inputs — so budget for 3 copies there; B<=2
+    # keeps the larger tile (2 copies fit) and its measured perf.
+    n_copies = 3 if B >= 3 else 2
     tile = S
-    while 3 * tile * C * S * 4 > _BWD_ACC_BUDGET and tile % 2 == 0:
+    while (n_copies * 3 * tile * C * S * 4 > _BWD_SCOPED_BUDGET
+           and tile % 2 == 0):
         tile //= 2
     n_tiles = S // tile
 

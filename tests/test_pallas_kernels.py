@@ -303,12 +303,13 @@ def test_pallas_sampler_tiled_backward_matches():
         return jnp.sum(jnp.sin(out))
 
     g_full = np.asarray(jax.grad(loss)(tri))
-    old = pk._BWD_ACC_BUDGET
-    pk._BWD_ACC_BUDGET = 3 * (S // 4) * C * S * 4  # forces tile = S//4
+    old = pk._BWD_SCOPED_BUDGET
+    # forces tile = S//4 (B=2 -> 2 buffered copies in the budget solve)
+    pk._BWD_SCOPED_BUDGET = 2 * 3 * (S // 4) * C * S * 4
     try:
         g_tiled = np.asarray(jax.grad(loss)(tri))
     finally:
-        pk._BWD_ACC_BUDGET = old
+        pk._BWD_SCOPED_BUDGET = old
     np.testing.assert_allclose(g_tiled, g_full, atol=1e-6)
 
 
