@@ -339,12 +339,16 @@ def main():
     plan = [only] if only else ["infer", "train", "mae"]
     runners = {
         "infer": lambda: bench_infer(args.batch_size, args.iters),
+        # Train sections run at their measured best per-chip operating
+        # points (r3 chip battery: occ B4 42.97 > B2 40.48 samples/s;
+        # MAE range_cam B2 8.89 > B1 7.63 — batching helps again now
+        # that the fused attention/epilogue backwards landed).
         "train": lambda: bench_occ_train(
-            min(args.batch_size, 2), max(10, args.iters // 3),
+            min(args.batch_size, 4), max(10, args.iters // 3),
             fused=args.fused,
         ),
         "mae": lambda: bench_mae_train(
-            1, max(8, args.iters // 4), fused=args.fused
+            2, max(8, args.iters // 4), fused=args.fused
         ),
     }
     for name in plan:
