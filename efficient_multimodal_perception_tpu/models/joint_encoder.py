@@ -69,6 +69,8 @@ class JointEncoder(nn.Module):
     image_hw: Tuple[int, int] = (256, 512)
     embed_dims: int = 192
     dtype: Any = jnp.float32
+    # Max batch rows per interact body; see ``interact`` docstring.
+    interact_batch_chunk: int = 4
 
     def setup(self):
         self.lidar_net = MaskConvNeXt(
@@ -179,6 +181,15 @@ class JointEncoder(nn.Module):
     ):
         """Vectorized cross-modal exchange (``joint_encoder.py:97-215``).
 
+        Past B=4 the body is run in batch chunks of
+        ``interact_batch_chunk`` and the results concatenated: XLA's
+        batched row-gather emitter degrades once the (B·N, h1·w1, C)
+        gather operand crosses ~100 MB (measured v5e: 2.34 ms/sample at
+        B<=4 vs 3.26 at B=8; two chunked B=4 gathers inside one jit
+        recover the B=4 rate exactly), and the winner-scatter tail
+        shows the same super-linearity.  Chunking is semantics-free —
+        every op here is independent across batch rows.
+
         Args:
             img_features: ``(B, N, h1, w1, C)`` mid-level camera features.
             range_image: ``(B, 32, 1024, 1)`` (already MAE-masked).
@@ -190,6 +201,32 @@ class JointEncoder(nn.Module):
             (row, col) float coords (-1 where invalid), and their
             validity mask (valid projection & pixel has a point).
         """
+        B = img_features.shape[0]
+        chunk = self.interact_batch_chunk
+        if B <= chunk:
+            return self._interact_chunk(
+                img_features, range_image, range_points, lidar2img, cam_aug
+            )
+        outs = []
+        for b0 in range(0, B, chunk):
+            sl = slice(b0, min(b0 + chunk, B))
+            outs.append(self._interact_chunk(
+                img_features[sl], range_image[sl], range_points[sl],
+                lidar2img[sl],
+                jax.tree_util.tree_map(lambda a: a[sl], cam_aug),
+            ))
+        return tuple(
+            jnp.concatenate([o[i] for o in outs], axis=0) for i in range(4)
+        )
+
+    def _interact_chunk(
+        self,
+        img_features: jax.Array,
+        range_image: jax.Array,
+        range_points: jax.Array,
+        lidar2img: jax.Array,
+        cam_aug: CameraAug,
+    ):
         B, N, h1, w1, C = img_features.shape
         _, RH, RW, _ = range_image.shape
         P = RH * RW

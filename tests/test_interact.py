@@ -157,3 +157,47 @@ def test_interact_matches_loop_oracle():
     # pos-embed scatter: exact last-write equality, collisions included
     got_feats = np.asarray(new_feats)
     np.testing.assert_allclose(got_feats, exp_feats, atol=1e-5)
+
+
+def test_interact_batch_chunking_is_exact():
+    """interact past B=chunk splits into batch chunks (the XLA batched
+    row-gather degrades super-linearly past ~100 MB of gather operand);
+    the split must be bit-exact vs the unchunked body."""
+    rng = np.random.default_rng(1)
+    B, N = 6, 2
+    IH, IW = 32, 64
+    RH, RW = 4, 32
+    h1, w1, C = 8, 16, 8
+
+    kw = dict(
+        lidar_encoder=LID, camera_encoder=ENC, embed_dims=C,
+        image_hw=(IH, IW),
+    )
+    enc_chunked = JointEncoder(**kw, interact_batch_chunk=4)
+    enc_plain = JointEncoder(**kw, interact_batch_chunk=64)
+
+    img_feats = jnp.asarray(
+        rng.standard_normal((B, N, h1, w1, C)).astype(np.float32)
+    )
+    range_image = jnp.asarray(
+        rng.uniform(0, 40, (B, RH, RW, 1)).astype(np.float32)
+    )
+    range_points = jnp.asarray(
+        rng.uniform(-20, 20, (B, RH, RW, 3)).astype(np.float32)
+    )
+    l2i = np.zeros((B, N, 4, 4), np.float32)
+    l2i[..., 0, 0] = 40.0
+    l2i[..., 1, 1] = 40.0
+    l2i[..., 0, 2] = IW / 2
+    l2i[..., 1, 2] = IH / 2
+    l2i[..., 2, 2] = 1.0
+    l2i[..., 3, 3] = 1.0
+    l2i = jnp.asarray(l2i)
+    aug = CameraAug.identity(B, N)
+
+    args = (img_feats, range_image, range_points, l2i, aug)
+    variables = enc_chunked.init(jax.random.key(0), *args, method="interact")
+    out_c = enc_chunked.apply(variables, *args, method="interact")
+    out_p = enc_plain.apply(variables, *args, method="interact")
+    for a, b in zip(out_c, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
