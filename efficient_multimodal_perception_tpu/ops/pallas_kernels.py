@@ -1049,22 +1049,39 @@ def _post_bwd_kernel(
         dgamma_ref[:] = acc_vec[4:5, :C]
 
 
-def _post_bwd_emit_kernel(
+def _post_bwd_wide_kernel(
     y_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     gamma_ref, dy_ref, z_ref, h_ref, dhpre_ref, dlns_ref, dlnb_ref,
-    db1_ref, db2_ref, dgamma_ref, *acc,
+    db1_ref, db2_ref, dgamma_ref, acc_dz, acc_vec,
 ):
-    """``_post_bwd_kernel`` for wide stages (C=768): instead of
-    accumulating the (C, 4C)/(4C, C) weight grads in VMEM (9.4 MB each
-    — they OOM'd the scoped budget), emit the recomputed ``z``, ``h``
-    and ``dhpre`` row blocks so the caller forms ``dw1 = z^T dhpre`` /
-    ``dw2 = h^T (g*gamma)`` as plain MXU matmuls in XLA.  The small
-    vector grads still accumulate in a (8, C4) scratch.
+    """``_post_bwd_kernel`` for wide stages (C=768), C4-TILED.
+
+    Grid is ``(M // R, C4 // T)`` with the hidden (4C) axis innermost:
+    each step sees only a ``(C, T)`` slice of ``w1`` / ``(T, C)`` of
+    ``w2``, so no full (C, 4C) weight ever has to be VMEM-resident.
+    (The previous whole-C4 variant kept both weights resident at 9.4 MB
+    — Mosaic double-buffers constant-index operands at larger grids,
+    which blew the 16 MB scoped limit at B=4 MAE: 19.91M requested.
+    Tiling also lifts the row block from R=32 to R=128, giving the four
+    per-step dots proper MXU shapes.)
+
+    Per (i, t): recompute LN (cheap, VPU) and the t-th hidden slice
+    ``hpre/h/dhpre``; emit ``h``/``dhpre`` blocks (the caller forms the
+    weight grads as XLA matmuls), accumulate ``dz`` across t in an
+    (R, C) f32 scratch, and at the last t do the LN backward and write
+    ``dy``.  Vector grads accumulate in an (8, C4) f32 scratch: row 0 =
+    db1 (written per-tile at column ``t*T``), 1 = db2, 2 = dlns,
+    3 = dlnb, 4 = dgamma.  Total MXU FLOPs are unchanged vs the
+    untiled kernel — the tiles partition the same four matmuls.
     """
     i = pl.program_id(0)
-    n = pl.num_programs(0)
+    t = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nt = pl.num_programs(1)
     C = y_ref.shape[-1]
+    T = w1_ref.shape[-1]
 
+    # ---- forward recompute (f32 LN, bf16 matmuls, f32 accum) ----
     yf = y_ref[:].astype(jnp.float32)
     mu = jnp.mean(yf, axis=-1, keepdims=True)
     var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
@@ -1076,75 +1093,80 @@ def _post_bwd_emit_kernel(
     dt = w1_ref.dtype
     zc = z.astype(dt)
     hpre = jnp.dot(zc, w1_ref[:], preferred_element_type=jnp.float32)
-    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)  # b1 block (1, T)
     phi_c = 0.5 * (1.0 + _erf_as(hpre * 0.7071067811865476))
     h = (hpre * phi_c).astype(dt)
-    opre = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    opre = opre + b2_ref[:].astype(jnp.float32)
+    h_ref[:] = h
 
     g = g_ref[:].astype(jnp.float32)
     gamma = gamma_ref[:].astype(jnp.float32)
     do = g * gamma
     doc = do.astype(dt)
-
-    db2_p = jnp.sum(do, axis=0, keepdims=True)
-    dh = jnp.dot(
-        doc, w2_ref[:].T, preferred_element_type=jnp.float32
-    )
+    dh = jnp.dot(doc, w2_ref[:].T, preferred_element_type=jnp.float32)
     pdf = 0.3989422804014327 * jnp.exp(-0.5 * hpre * hpre)
     dhpre = dh * (phi_c + hpre * pdf)
     dhprec = dhpre.astype(dt)
-    db1_p = jnp.sum(dhpre, axis=0, keepdims=True)
-    dz = jnp.dot(
-        dhprec, w1_ref[:].T, preferred_element_type=jnp.float32
-    )
-    dlns_p = jnp.sum(dz * zhat, axis=0, keepdims=True)
-    dlnb_p = jnp.sum(dz, axis=0, keepdims=True)
-    dzhat = dz * lns
-    m1 = jnp.mean(dzhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dzhat * zhat, axis=-1, keepdims=True)
-    dy = rstd * (dzhat - m1 - zhat * m2)
-    dy_ref[:] = dy.astype(dy_ref.dtype)
-    z_ref[:] = zc
-    h_ref[:] = h
     dhpre_ref[:] = dhprec
-    dgamma_p = jnp.sum(g * opre, axis=0, keepdims=True)
+    db1_p = jnp.sum(dhpre, axis=0, keepdims=True)  # (1, T) f32
+    dz_t = jnp.dot(dhprec, w1_ref[:].T, preferred_element_type=jnp.float32)
+    # opre tile for dgamma (excludes the +b2 bias — added once at t=0)
+    opre_t = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    dgamma_p = jnp.sum(g * opre_t, axis=0, keepdims=True)  # (1, C)
 
-    C4 = w1_ref.shape[-1]
-    (acc_vec,) = acc
+    @pl.when((i == 0) & (t == 0))
+    def _():
+        acc_vec[:] = jnp.zeros_like(acc_vec)
 
-    def padrow(v):
-        return jnp.concatenate(
-            [v, jnp.zeros((1, C4 - v.shape[1]), v.dtype)], axis=1
+    @pl.when(t == 0)
+    def _():
+        z_ref[:] = zc
+        acc_dz[:] = dz_t
+        # t-independent partials, once per row block
+        acc_vec[1:2, :C] = acc_vec[1:2, :C] + jnp.sum(
+            do, axis=0, keepdims=True
         )
+        acc_vec[4:5, :C] = acc_vec[4:5, :C] + jnp.sum(
+            g, axis=0, keepdims=True
+        ) * b2_ref[:].astype(jnp.float32)
 
-    vec = jnp.concatenate(
-        [
-            db1_p,
-            padrow(db2_p),
-            padrow(dlns_p),
-            padrow(dlnb_p),
-            padrow(dgamma_p),
-            jnp.zeros((3, C4), jnp.float32),
-        ],
-        axis=0,
+    @pl.when(t > 0)
+    def _():
+        acc_dz[:] = acc_dz[:] + dz_t
+
+    acc_vec[0:1, pl.dslice(t * T, T)] = (
+        acc_vec[0:1, pl.dslice(t * T, T)] + db1_p
     )
+    acc_vec[4:5, :C] = acc_vec[4:5, :C] + dgamma_p
 
-    @pl.when(i == 0)
+    @pl.when(t == nt - 1)
     def _():
-        acc_vec[:] = vec
+        dz = acc_dz[:]
+        acc_vec[2:3, :C] = acc_vec[2:3, :C] + jnp.sum(
+            dz * zhat, axis=0, keepdims=True
+        )
+        acc_vec[3:4, :C] = acc_vec[3:4, :C] + jnp.sum(
+            dz, axis=0, keepdims=True
+        )
+        dzhat = dz * lns
+        m1 = jnp.mean(dzhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dzhat * zhat, axis=-1, keepdims=True)
+        dy = rstd * (dzhat - m1 - zhat * m2)
+        dy_ref[:] = dy.astype(dy_ref.dtype)
 
-    @pl.when(i > 0)
+    @pl.when((i == ni - 1) & (t == nt - 1))
     def _():
-        acc_vec[:] = acc_vec[:] + vec
-
-    @pl.when(i == n - 1)
-    def _():
-        db1_ref[:] = acc_vec[0:1, :]
-        db2_ref[:] = acc_vec[1:2, :C]
         dlns_ref[:] = acc_vec[2:3, :C]
         dlnb_ref[:] = acc_vec[3:4, :C]
+        db1_ref[:] = acc_vec[0:1, :]
+        db2_ref[:] = acc_vec[1:2, :C]
         dgamma_ref[:] = acc_vec[4:5, :C]
+
+
+# Scoped-VMEM target for the wide backward's block solve.  Deliberately
+# well under the 16 MB limit: Mosaic multi-buffers operand/output
+# blocks (x2 below) and XLA may additionally pin small operands in
+# VMEM around the call.
+_WIDE_BWD_BUDGET = 12_000_000
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1152,26 +1174,49 @@ def post_epilogue_bwd_wide(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
                            interpret=False):
     """Fused epilogue backward for C>384 stages (VERDICT r2 #2a).
 
-    One Pallas pass produces ``dy``, the vector grads, and the
+    One C4-tiled Pallas pass produces ``dy``, the vector grads, and the
     recomputed ``(z, h, dhpre)`` activations; the (C, 4C) weight grads
     are then two MXU matmuls in XLA.  Requires ``gamma``.
     """
     M, C = y.shape
     C4 = w1.shape[-1]
     dt = y.dtype
-    # Row-block budget: w1+w2 stay VMEM-resident (2*C*C4*itemsize); the
-    # double-buffered row blocks (y, g, dy, z + h, dhpre) cost
-    # 4*(4C + 2*C4)*itemsize per row and the in-kernel f32 temporaries
-    # (hpre/phi/dh at (R, C4)) another ~12*C4 — solve R against ~14 MB
-    # of the 16 MB scoped limit.  (The old max(128, ...) FLOORED R at
-    # 128, which at C=768/M=3072 overran scoped VMEM by 432 KB on v5e.)
     itm = jnp.dtype(dt).itemsize
-    w_bytes = 2 * C * C4 * itm
-    per_row = 4 * (4 * C + 2 * C4) * itm + 12 * C4
-    cap = max(8, (14_000_000 - w_bytes) // per_row)
-    R = 1
-    while M % (R * 2) == 0 and R * 2 <= min(2048, cap):
-        R *= 2
+
+    def cost(R, T):
+        wts = 2 * 2 * C * T * itm        # w1 + w2 blocks, double-buffered
+        ins = 2 * 2 * R * C * itm        # y, g double-buffered
+        outs = 2 * R * (2 * C + 2 * T) * itm  # dy, z, h, dhpre
+        scr = R * C * 4 + 8 * C4 * 4
+        tmp = (12 * C + 24 * T) * R      # f32 in-kernel temporaries
+        return wts + ins + outs + scr + tmp
+
+    def max_rows(T):
+        R = 1
+        while (M % (R * 2) == 0 and R * 2 <= 512
+               and cost(R * 2, T) <= _WIDE_BWD_BUDGET):
+            R *= 2
+        return R if cost(R, T) <= _WIDE_BWD_BUDGET else 0
+
+    fits = {}
+    T = C4
+    while T >= 128 and C4 % T == 0:
+        fits[T] = max_rows(T)
+        T //= 2
+    # Largest hidden tile that still gets MXU-sized row blocks; if M is
+    # too small for 128 rows, fall back to the largest feasible R.
+    good = [(T, R) for T, R in fits.items() if R >= 128]
+    if good:
+        T, R = max(good)
+    else:
+        ok = [(R, T) for T, R in fits.items() if R >= 8]
+        if not ok:
+            raise ValueError(
+                f"post_epilogue_bwd_wide: no (R, T) block fits scoped "
+                f"VMEM at M={M}, C={C}, C4={C4}"
+            )
+        R, T = max(ok)
+    nt = C4 // T
 
     operands = [
         y.reshape(M, C),
@@ -1179,30 +1224,31 @@ def post_epilogue_bwd_wide(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
         ln_s.astype(jnp.float32),
         ln_b.astype(jnp.float32),
         w1.astype(dt),
-        b1.astype(jnp.float32),
+        b1.astype(jnp.float32).reshape(1, C4),
         w2.astype(dt),
         b2.astype(jnp.float32),
         gamma.astype(jnp.float32),
     ]
     specs = [
-        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec(
-            arg.shape, lambda i, nd=arg.ndim: (0,) * nd,
-            memory_space=pltpu.VMEM,
-        )
-        for arg in operands[2:]
+        pl.BlockSpec((R, C), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda i, t: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda i, t: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, T), lambda i, t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda i, t: (0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, C), lambda i, t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda i, t: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda i, t: (0,), memory_space=pltpu.VMEM),
     ]
     vec_shapes = [(1, C), (1, C), (1, C4), (1, C), (1, C)]
     out_specs = [
-        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, C4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, C4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, T), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, T), lambda i, t: (i, t), memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(
-            shape, lambda i, nd=len(shape): (0,) * nd,
+            shape, lambda i, t, nd=len(shape): (0,) * nd,
             memory_space=pltpu.VMEM,
         )
         for shape in vec_shapes
@@ -1215,12 +1261,15 @@ def post_epilogue_bwd_wide(y, g, ln_s, ln_b, w1, b1, w2, b2, gamma,
     ] + [jax.ShapeDtypeStruct(s, jnp.float32) for s in vec_shapes]
 
     outs = pl.pallas_call(
-        _post_bwd_emit_kernel,
-        grid=(M // R,),
+        _post_bwd_wide_kernel,
+        grid=(M // R, nt),
         in_specs=specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((8, C4), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((R, C), jnp.float32),
+            pltpu.VMEM((8, C4), jnp.float32),
+        ],
         interpret=interpret,
     )(*operands)
     dy, z, h, dhpre, dlns, dlnb, db1, db2, dgamma = outs
