@@ -284,8 +284,13 @@ def bench_mae_train(
         or enc.get("camera_mask_ratio", 0) > 0
     ):
         rng_names.append("mask")
+    # frozen=True matches the production train path (tools/train.py):
+    # every reference config sets frozen_stages=1 on each ConvNeXt
+    # (mask_convnext.py:339-350 freezes downsample0+stage0 params), so
+    # the faithful MAE pretrain step has NO stage0/stem backward at all
+    # (stage0 is the first stage — XLA DCEs its whole bwd graph).
     state, step_fn = _make_train_state(
-        cfg, model, batch, tuple(rng_names), frozen=False
+        cfg, model, batch, tuple(rng_names), frozen=True
     )
     dt, flops = _time_train(step_fn, state, batch, iters)
     return dict(
@@ -343,11 +348,12 @@ def main():
     runners = {
         "infer": lambda: bench_infer(args.batch_size, args.iters),
         # Train sections run at their measured best per-chip operating
-        # points (r3 chip battery: occ B4 42.97 > B2 40.48 samples/s;
-        # MAE range_cam B2 8.89 > B1 7.63 — batching helps again now
-        # that the fused attention/epilogue backwards landed).
+        # points (session-8 chip battery, production freeze: occ B8
+        # 43.19 > B4 42.97 samples/s; MAE range_cam B2 10.03 > B1 8.52,
+        # B4 regresses super-linearly — scatter/gather operands cross
+        # the ~100 MB XLA degradation knee, see interact chunking).
         "train": lambda: bench_occ_train(
-            min(args.batch_size, 4), max(10, args.iters // 3),
+            min(args.batch_size, 8), max(10, args.iters // 3),
             fused=args.fused,
         ),
         "mae": lambda: bench_mae_train(

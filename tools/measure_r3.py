@@ -2,22 +2,17 @@
 
 Runs each pending measurement in sequence on the real chip and prints
 one JSON line per result, so a single invocation settles every open
-perf question the moment the axon tunnel is alive again:
+perf question the moment the axon tunnel is alive again.
 
-1. occ inference B=4 vs B=8 — did the natively-batched sampler forward
-   (b6b850c) fix the B=8 regression (r2 ledger: 44.8 < 47.5)?
-2. occ train B=2, fused flat AdamW off/on — adopt `optimizer.fused`
-   as default if it wins (ledger: optimizer ~13 ms of the step,
-   ~7 ms HBM floor).
-3. MAE range_cam train B=1, fused off/on — same question on the
-   pretrain path (step was 141 ms, 7.05 samples/s).
-4. surf_sam train B=2 vs B=4 — did the sampler-bwd H-tiling (b6b850c)
-   unlock B>=4 (r2: VMEM OOM)?
-5. occ train B=4 — with the frozen-encoder backward now DCE'd
-   (trainer freeze_prefixes stop_gradient), the step is much lighter;
-   does a bigger batch now win?
-6. MAE range_cam train B=2 — the r2 "zero batching gain" verdict
-   predates the fused epilogue/attention backwards; re-check.
+Session-8+ queue (bench_mae_train now freezes stage0/stem like
+production -- frozen_stages=1 in every reference config -- so MAE
+numbers are a NEW baseline vs the unfrozen session-7 ledger):
+
+1. MAE range_cam train B=1/2/4 with the production freeze (stage0+stem
+   backward DCE'd); does B=4 now win?
+2. occ train B=8 -- chunked interact (b37f3f7) made B=8 the inference
+   operating point; does the frozen fine-tune step follow?
+3. surf_sam train B=2/4/8 with the production freeze.
 
 Usage: `python tools/measure_r3.py [--iters N] [--only 1,..,6]`
 (sections fault-isolated; safe to rerun).  NEVER run concurrently with
@@ -42,7 +37,7 @@ def main():
     p.add_argument("--only", default=None,
                    help="comma-separated subset of 1,2,3,4")
     args = p.parse_args()
-    only = set((args.only or "1,2,3,4,5,6").split(","))
+    only = set((args.only or "1,2,3").split(","))
 
     err = bench._preflight()
     if err is not None:
@@ -50,24 +45,22 @@ def main():
         return
 
     jobs = []
+    # Session-8+ queue: bench_mae_train now freezes stage0/stem like
+    # production (frozen_stages=1 in every reference config), so every
+    # MAE number below is a NEW baseline, not comparable to the
+    # unfrozen session-7 ledger entries.
     if "1" in only:
         jobs += [
-            ("occ_infer_B4", lambda: bench.bench_infer(4, args.iters)),
-            ("occ_infer_B8", lambda: bench.bench_infer(8, args.iters)),
+            ("mae_train_B1", lambda: bench.bench_mae_train(1, args.iters)),
+            ("mae_train_B2", lambda: bench.bench_mae_train(2, args.iters)),
+            ("mae_train_B4", lambda: bench.bench_mae_train(
+                4, max(8, args.iters // 2))),
         ]
     if "2" in only:
         jobs += [
-            ("occ_train_B2", lambda: bench.bench_occ_train(2, args.iters)),
-            ("occ_train_B2_fused",
-             lambda: bench.bench_occ_train(2, args.iters, fused=True)),
+            ("occ_train_B8", lambda: bench.bench_occ_train(8, args.iters)),
         ]
     if "3" in only:
-        jobs += [
-            ("mae_train_B1", lambda: bench.bench_mae_train(1, args.iters)),
-            ("mae_train_B1_fused",
-             lambda: bench.bench_mae_train(1, args.iters, fused=True)),
-        ]
-    if "4" in only:
         jobs += [
             ("surf_sam_train_B2",
              lambda: bench.bench_mae_train(
@@ -75,16 +68,9 @@ def main():
             ("surf_sam_train_B4",
              lambda: bench.bench_mae_train(
                  4, max(8, args.iters // 2), config="triplane_surf_sam")),
-        ]
-    if "5" in only:
-        jobs += [
-            ("occ_train_B4_fused",
-             lambda: bench.bench_occ_train(4, args.iters, fused=True)),
-        ]
-    if "6" in only:
-        jobs += [
-            ("mae_train_B2", lambda: bench.bench_mae_train(
-                2, max(8, args.iters // 2))),
+            ("surf_sam_train_B8",
+             lambda: bench.bench_mae_train(
+                 8, max(8, args.iters // 2), config="triplane_surf_sam")),
         ]
 
     for name, fn in jobs:

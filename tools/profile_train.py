@@ -61,6 +61,9 @@ def main():
     p.add_argument("iters", nargs="?", type=int, default=20)
     p.add_argument("--fused", action="store_true",
                    help="fused flat AdamW in the optimizer sections")
+    p.add_argument("--unfrozen", action="store_true",
+                   help="grad ALL params (default matches production: "
+                        "model_init.freeze + frozen_stages stop_grads)")
     args = p.parse_args()
 
     import bench
@@ -85,8 +88,29 @@ def main():
     )
     rng_names = ("sample", "droppath")
     state, step_fn = bench._make_train_state(
-        cfg, model, batch, rng_names, frozen=False
+        cfg, model, batch, rng_names, frozen=not args.unfrozen
     )
+
+    from efficient_multimodal_perception_tpu.train.trainer import (
+        freeze_mask, frozen_stage_tokens,
+    )
+    freeze = ()
+    if not args.unfrozen:
+        freeze = tuple(cfg["model_init"].get("freeze", ())) + (
+            frozen_stage_tokens(cfg["model"])
+        )
+
+    def stopped(params):
+        """stop_gradient on frozen params — same masking the production
+        train step applies (trainer.make_train_step), so section grads
+        measure what production actually computes."""
+        if not freeze:
+            return params
+        trainable = freeze_mask(params, freeze)
+        return jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p),
+            params, trainable,
+        )
     # params are re-passed to every compiled call below — they must be
     # committed on-device or each call re-uploads them (see
     # bench._cpu_init docstring)
@@ -107,6 +131,7 @@ def main():
 
     # --- nested prefix functions -------------------------------------
     def enc_only(params, batch, rng):
+        params = stopped(params)
         out = model.apply(
             {"params": params},
             batch.img, batch.range_image, batch.range_points,
@@ -117,6 +142,7 @@ def main():
         return leaf_sum(out)
 
     def tri_only(params, batch, rng):
+        params = stopped(params)
         tri, _ = model.apply(
             {"params": params}, batch,
             deterministic=False, rngs=rngs_of(rng),
@@ -125,6 +151,7 @@ def main():
         return jnp.sum(tri.astype(jnp.float32))
 
     def loss_full(params, batch, rng):
+        params = stopped(params)
         losses = model.apply(
             {"params": params}, batch,
             deterministic=False, rngs=rngs_of(rng),
@@ -159,9 +186,9 @@ def main():
         from efficient_multimodal_perception_tpu.train.trainer import (
             make_optimizer, make_train_step,
         )
-        optimizer = make_optimizer(cfg, 1000, state.params, ())
+        optimizer = make_optimizer(cfg, 1000, state.params, freeze)
         step_nd = make_train_step(model, optimizer, rng_names,
-                                  donate=False)
+                                  freeze_prefixes=freeze, donate=False)
         compiled = step_nd.lower(state, batch, rng).compile()
 
         def run_step(s, b, r):
