@@ -120,7 +120,7 @@ def _fused_attn_flops(cfg, batch_size: int, dtype) -> float:
     n_tok = (h // patch) * (w // patch)
     heads, blocks = 4, 2  # MixVisionTransformer hardcodes both (mit.py)
     hd = neck.get("embed_dim", 768) // heads
-    if not _use_fused_attn(1, dtype, n_tok):
+    if not _use_fused_attn(dtype, n_tok, n_tok):
         return 0.0
     return blocks * heads * batch_size * 2 * 2 * n_tok**2 * hd
 

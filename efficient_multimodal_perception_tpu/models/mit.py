@@ -14,11 +14,12 @@ reinterpreted as a 64x64 image (``mit.py:366-372``) — is reproduced
 exactly; it is the mechanism that turns the stacked camera+range strip
 into a square triplane.
 
-Attention is 2 blocks x 4 heads; the neck's full (sr=1) attention over
-4096 tokens dispatches to the repo's fused Pallas kernel on TPU
-(``ops/pallas_kernels.attention_pallas`` — the f32 score tile stays in
-VMEM); the sr_ratio=4 decoder blocks keep the plain einsum (K/V are only
-256 tokens there).
+Attention is 2 blocks x 4 heads; both the neck's full (sr=1) attention
+over 4096 tokens and the decoders' rectangular sr_ratio=4 attention
+(8192 queries x 512 reduced K/V) dispatch to the repo's fused Pallas
+kernel on TPU (``ops/pallas_kernels.attention_pallas`` — the f32 score
+tile stays in VMEM; the einsum form materializes ~0.8 GB of scores per
+decoder pass at B=2 pretrain).
 """
 
 from __future__ import annotations
@@ -30,23 +31,25 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_fused_attn(sr_ratio: int, dtype, n_tokens: int) -> bool:
-    """Fused attention pays off only for full (sr=1) attention over the
-    4096-token neck sequence: the materialized (B, h, N, N) f32 softmax
-    is ~1 GB of HBM traffic at B=4 there (measured 4.0 ms/block as the
-    einsum).  sr_ratio=4 decoders reduce K/V to 256 tokens -- the einsum
-    is already cheap.  The stock flash kernel wants head_dim % 128
-    (padding the neck's hd=192 to 256 measured a wash: 3.7 vs 3.9 ms),
-    so this dispatches to the repo's own
-    ``ops/pallas_kernels.attention_pallas`` -- exact f32 softmax, K/V
-    VMEM-resident, no head padding."""
+def _use_fused_attn(dtype, n_q: int, n_kv: int) -> bool:
+    """Dispatch to the repo fused attention when the materialized
+    (B, h, Nq, Nk) f32 softmax would be real HBM traffic: the sr=1 neck
+    (4096x4096, ~1 GB at B=4, einsum measured 4.0 ms/block) and the
+    sr_ratio=4 MAE decoders (8192 queries x 512 reduced K/V — ~0.8 GB
+    f32 scores at B=2 pretrain).  Tiny score tensors (< ~1M entries per
+    group-head) keep the einsum.  The stock flash kernel wants
+    head_dim % 128 (padding the neck's hd=256 measured a wash), so this
+    dispatches to the repo's own ``ops/pallas_kernels.attention_pallas``
+    -- exact f32 softmax, K/V VMEM-resident, rectangular Nq != Nk
+    supported, no head padding."""
     from ..parallel.fsdp import ambient_model_axis
 
     return (
-        sr_ratio == 1
-        and dtype == jnp.bfloat16
+        dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
-        and n_tokens % 512 == 0
+        and n_q % 512 == 0
+        and n_kv % 128 == 0
+        and n_q * n_kv >= 1_000_000
         # a Pallas call has no GSPMD partitioning rule: under tensor
         # parallelism the einsum path (which GSPMD head-splits) wins
         and ambient_model_axis() == 1
@@ -72,17 +75,18 @@ def _sp_constraint(x):
 
 
 def _fused_attn(q, k, v, scale):
-    """(B, h, N, hd) -> repo fused attention over flattened heads."""
+    """(B, h, Nq/Nk, hd) -> repo fused attention over flattened heads."""
     from ..ops.pallas_kernels import attention_pallas
 
-    B, h, N, hd = q.shape
+    B, h, Nq, hd = q.shape
+    Nk = k.shape[2]
     out = attention_pallas(
-        q.reshape(B * h, N, hd),
-        k.reshape(B * h, N, hd),
-        v.reshape(B * h, N, hd),
+        q.reshape(B * h, Nq, hd),
+        k.reshape(B * h, Nk, hd),
+        v.reshape(B * h, Nk, hd),
         scale,
     )
-    return out.reshape(B, h, N, hd)
+    return out.reshape(B, h, Nq, hd)
 
 
 class EfficientAttention(nn.Module):
@@ -131,7 +135,7 @@ class EfficientAttention(nn.Module):
         k = k.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
 
-        if _use_fused_attn(self.sr_ratio, x.dtype, N):
+        if _use_fused_attn(x.dtype, N, k.shape[2]):
             out = _fused_attn(q, k, v, scale)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale

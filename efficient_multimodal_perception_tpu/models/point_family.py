@@ -16,7 +16,7 @@ from ..core.geometry import (
     project_points_to_cameras,
 )
 from ..ops.sampling import grid_sample_2d
-from ..ops.scatter import scatter_set_2d
+from ..ops.scatter import scatter_set_2d_batch
 
 
 def voxelize_points(points, points_valid, pc_range, voxel_size):
@@ -99,13 +99,13 @@ def cam_rec_feat(
     rows = jnp.floor(coords[..., 1]).astype(jnp.int32)
     cols = jnp.clip(jnp.floor(coords[..., 0]).astype(jnp.int32), 0, W - 1)
 
-    canvas = jnp.zeros((B * N, H, W, C), point_feats.dtype)
     feats = jnp.broadcast_to(point_feats[:, None], (B, N, P, C))
-    out = jax.vmap(scatter_set_2d)(
-        canvas,
+    out = scatter_set_2d_batch(
         rows.reshape(B * N, P),
         cols.reshape(B * N, P),
         valid.reshape(B * N, P),
         feats.reshape(B * N, P, C),
+        H,
+        W,
     )
     return out.reshape(B, N, H, W, C)

@@ -27,7 +27,7 @@ from .range_family import encode_triplane
 from ..losses.sup_con import sup_con_loss
 from ..ops.pallas_kernels import sample_triplane_auto
 from ..ops.sampling import sample_triplane
-from ..ops.scatter import scatter_set_2d
+from ..ops.scatter import scatter_set_2d_batch
 from .builder import build
 
 
@@ -53,16 +53,13 @@ def _scatter_points_to_cameras(rc_coors, feats, num_cams, H, W):
     rows = jnp.floor(rc[..., 0]).astype(jnp.int32)
     cols = jnp.floor(rc[..., 1]).astype(jnp.int32)
     valid = rows > 0
+    G, P = B * num_cams, rc.shape[2]
     bcast = jnp.broadcast_to(
-        feats[:, None], (B, num_cams, feats.shape[1], C)
-    )
-    canvas = jnp.zeros((B * num_cams, H, W, C), feats.dtype)
-    return jax.vmap(scatter_set_2d)(
-        canvas,
-        rows.reshape(B * num_cams, -1),
-        cols.reshape(B * num_cams, -1),
-        valid.reshape(B * num_cams, -1),
-        bcast.reshape(B * num_cams, -1, C),
+        feats[:, None], (B, num_cams, P, C)
+    ).reshape(G, P, C)
+    return scatter_set_2d_batch(
+        rows.reshape(G, P), cols.reshape(G, P), valid.reshape(G, P),
+        bcast, H, W,
     )
 
 

@@ -681,7 +681,8 @@ def sample_triplane_auto(triplane, points, pc_range, voxel_size):
 
 
 # ---------------------------------------------------------------------------
-# Neck attention (sr_ratio=1, 4096 tokens, head_dim 256 = embed 1024 / 4 heads)
+# Fused attention: the sr=1 neck (4096 tokens, head_dim 256 = embed 1024 /
+# 4 heads) and the rectangular sr=4 MAE decoders (8192 q x 512 kv, hd 24)
 # ---------------------------------------------------------------------------
 
 
@@ -745,7 +746,8 @@ def _attn_fwd(q, k, v, scale, interpret):
 
 def _attn_bwd(scale, interpret, res, g):
     q, k, v, out, lse = res
-    G, N, hd = q.shape
+    G, Nq, hd = q.shape
+    Nk = k.shape[1]
     # D_i = dO_i . O_i (softmax-jacobian row term), computed in XLA.
     # Column form (G, N, 1) feeds the dQ kernel; row form (G, 1, N)
     # feeds the dK/dV kernel (both block shapes are Mosaic-legal, a
@@ -758,18 +760,18 @@ def _attn_bwd(scale, interpret, res, g):
     d_row = jnp.swapaxes(D, 1, 2)
 
     blk = 128
-    while N % blk:
+    while Nq % blk:
         blk //= 2
     kern_q = functools.partial(_attn_bwd_dq_kernel, scale=scale)
     dq = pl.pallas_call(
         kern_q,
-        grid=(G, N // blk),
+        grid=(G, Nq // blk),
         in_specs=[
             pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+            pl.BlockSpec((1, Nk, hd), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+            pl.BlockSpec((1, Nk, hd), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
@@ -782,35 +784,38 @@ def _attn_bwd(scale, interpret, res, g):
             (1, blk, hd), lambda gi, i: (gi, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((G, N, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, Nq, hd), q.dtype),
         interpret=interpret,
     )(q, k, v, g, lse, D)
 
+    blk_k = 128
+    while Nk % blk_k:
+        blk_k //= 2
     kern_kv = functools.partial(_attn_bwd_dkv_kernel, scale=scale)
     dk, dv = pl.pallas_call(
         kern_kv,
-        grid=(G, N // blk),
+        grid=(G, Nk // blk_k),
         in_specs=[
-            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+            pl.BlockSpec((1, blk_k, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+            pl.BlockSpec((1, blk_k, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+            pl.BlockSpec((1, Nq, hd), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, hd), lambda gi, i: (gi, 0, 0),
+            pl.BlockSpec((1, Nq, hd), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda gi, i: (gi, 0, 0),
+            pl.BlockSpec((1, 1, Nq), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda gi, i: (gi, 0, 0),
+            pl.BlockSpec((1, 1, Nq), lambda gi, i: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+            pl.BlockSpec((1, blk_k, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, hd), lambda gi, i: (gi, i, 0),
+            pl.BlockSpec((1, blk_k, hd), lambda gi, i: (gi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((G, N, hd), q.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((G, Nk, hd), q.dtype)] * 2,
         interpret=interpret,
     )(k, v, q, g, lse_row, d_row)
     return dq, dk, dv
@@ -873,31 +878,34 @@ attention_pallas.defvjp(_attn_fwd, _attn_bwd)
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _attn_impl(q, k, v, scale, interpret=False):
-    G, N, hd = q.shape
-    # VMEM budget: the (bq, N) f32 score tile + double-buffered K/V
+    G, Nq, hd = q.shape
+    Nk = k.shape[1]
+    # VMEM budget: the (bq, Nk) f32 score tile + double-buffered K/V
     # blocks must stay under ~14 MB (the neck's hd=256 OOM'd at bq=512:
-    # 2*2*N*hd*2 bytes of K/V buffers + bq*N*4 of scores).
-    kv_bytes = 2 * 2 * N * hd * q.dtype.itemsize
+    # 2*2*Nk*hd*2 bytes of K/V buffers + bq*Nk*4 of scores).  Nq may
+    # differ from Nk (the sr_ratio=4 MAE decoders attend 8192 queries
+    # over 512 reduced K/V tokens).
+    kv_bytes = 2 * 2 * Nk * hd * q.dtype.itemsize
     bq = 512
-    while bq > 128 and kv_bytes + bq * N * 4 + 8 * bq * hd > 14_000_000:
+    while bq > 128 and kv_bytes + bq * Nk * 4 + 8 * bq * hd > 14_000_000:
         bq //= 2
-    while N % bq:
+    while Nq % bq:
         bq //= 2
     kernel = functools.partial(_attn_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
-        grid=(G, N // bq),
+        grid=(G, Nq // bq),
         in_specs=[
             pl.BlockSpec(
                 (1, bq, hd), lambda g, i: (g, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N, hd), lambda g, i: (g, 0, 0),
+                (1, Nk, hd), lambda g, i: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N, hd), lambda g, i: (g, 0, 0),
+                (1, Nk, hd), lambda g, i: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -912,8 +920,8 @@ def _attn_impl(q, k, v, scale, interpret=False):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, N, hd), q.dtype),
-            jax.ShapeDtypeStruct((G, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G, Nq, hd), q.dtype),
+            jax.ShapeDtypeStruct((G, Nq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)

@@ -14,6 +14,8 @@ the whole thing to one scatter.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -121,6 +123,87 @@ def last_write_winner(
         .at[flat_idx]
         .max(order, mode="drop")
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def scatter_set_2d_batch(
+    rows: jax.Array,
+    cols: jax.Array,
+    valid: jax.Array,
+    values: jax.Array,
+    H: int,
+    W: int,
+) -> jax.Array:
+    """Batched :func:`scatter_set_2d` into fresh zero canvases.
+
+    One FLAT winner scatter over all G canvases instead of a vmapped
+    per-canvas scatter (XLA lowers the batched scatter dimension
+    poorly — r2 ledger: 24.6 ms vmapped vs 14.4 ms flat at the
+    interact shapes).  Bit-identical to
+    ``vmap(scatter_set_2d)(zeros, ...)``: a flat index outside
+    ``[0, H*W)`` is dropped (the unbatched scatter's ``mode="drop"``
+    did exactly that), so a wrapping write never crosses canvases.
+
+    The VJP exploits that each point writes exactly ONE pixel, so the
+    winner map is a partial inverse of ``p -> t_p``: the exact
+    ``d_values`` is a masked row *gather* ``won ? d_out[t_p] : 0``
+    instead of the T-row scatter-add autodiff would emit (a ~27 ms
+    backward at the MAE camera-loss shapes, vs ~1 ms gathered).
+
+    Args:
+        rows/cols: ``(G, P)`` int coords.
+        valid: ``(G, P)`` bool.
+        values: ``(G, P, C)``.
+
+    Returns:
+        ``(G, H, W, C)`` canvases (zero where no valid writer).
+    """
+    out, _ = _scatter_set_2d_batch_fwd_impl(rows, cols, valid, values, H, W)
+    return out
+
+
+def _scatter_set_2d_batch_fwd_impl(rows, cols, valid, values, H, W):
+    G, P = rows.shape
+    T = H * W
+    idx_in = rows * W + cols
+    keep = valid & (idx_in >= 0) & (idx_in < T)
+    winner = last_write_winner_batch(rows, cols, keep, H, W)  # (G, T)
+    has = winner >= 0
+    vals = jnp.take_along_axis(
+        values, jnp.maximum(winner, 0)[..., None], axis=1
+    )  # (G, T, C)
+    out = jnp.where(has[..., None], vals, jnp.zeros((), values.dtype))
+    # won[g, p]: did point p's write survive to pixel t_p?
+    t_safe = jnp.where(keep, idx_in, 0)
+    won = keep & (
+        jnp.take_along_axis(winner, t_safe, axis=1)
+        == jnp.arange(P, dtype=winner.dtype)[None]
+    )
+    return out.reshape(G, H, W, values.shape[-1]), (t_safe, won)
+
+
+def _scatter_set_2d_batch_fwd(rows, cols, valid, values, H, W):
+    out, (t_safe, won) = _scatter_set_2d_batch_fwd_impl(
+        rows, cols, valid, values, H, W
+    )
+    return out, (t_safe, won)
+
+
+def _scatter_set_2d_batch_bwd(H, W, res, g):
+    # out.dtype == values.dtype (the forward casts nothing), so the
+    # cotangent's dtype is already the right d_values dtype.
+    t_safe, won = res
+    G, P = t_safe.shape
+    g_flat = g.reshape(G, H * W, g.shape[-1])
+    d_vals = jnp.take_along_axis(g_flat, t_safe[..., None], axis=1)
+    d_vals = jnp.where(won[..., None], d_vals, 0)
+    f0 = lambda x: jnp.zeros(x.shape, jax.dtypes.float0)
+    return (f0(t_safe), f0(t_safe), f0(won), d_vals)
+
+
+scatter_set_2d_batch.defvjp(
+    _scatter_set_2d_batch_fwd, _scatter_set_2d_batch_bwd
+)
 
 
 def last_write_winner_batch(

@@ -91,6 +91,46 @@ def test_scatter_set_2d_negative_col_not_wrapped():
     assert out.sum() == 0.0
 
 
+def test_scatter_set_2d_batch_matches_vmapped_and_grad():
+    """Flat batched winner scatter == vmap(scatter_set_2d) bit-exactly
+    on adversarial coords (negatives, wraps, past-end, duplicates), and
+    its gather-form custom VJP == the autodiff scatter-add gradient."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        scatter_set_2d_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    G, H, W, C, P = 5, 8, 12, 3, 64
+    rows = jnp.asarray(rng.integers(-2, H + 3, (G, P)), jnp.int32)
+    cols = jnp.asarray(rng.integers(-2, W + 3, (G, P)), jnp.int32)
+    valid = jnp.asarray(rows > 0)
+    vals = jnp.asarray(rng.standard_normal((G, P, C)), jnp.float32)
+
+    ref = jax.vmap(
+        lambda r, c, v, x: scatter_set_2d(jnp.zeros((H, W, C)), r, c, v, x)
+    )(rows, cols, valid, vals)
+    out = scatter_set_2d_batch(rows, cols, valid, vals, H, W)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    g_ref = jax.grad(
+        lambda x: (
+            jax.vmap(
+                lambda r, c, v, xx: scatter_set_2d(
+                    jnp.zeros((H, W, C)), r, c, v, xx
+                )
+            )(rows, cols, valid, x)
+            ** 2
+        ).sum()
+    )(vals)
+    g_out = jax.grad(
+        lambda x: (scatter_set_2d_batch(rows, cols, valid, x, H, W) ** 2).sum()
+    )(vals)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               atol=1e-6)
+
+
 def test_radius_neighbors_vs_bruteforce():
     rng = np.random.default_rng(1)
     Q, S, r, k = 37, 500, 1.0, 8

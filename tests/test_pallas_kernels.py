@@ -153,6 +153,41 @@ def test_attention_pallas_interpret():
         )
 
 
+def test_attention_pallas_rectangular_interpret():
+    """Rectangular (Nq != Nk) fused attention — the sr_ratio=4 MAE
+    decoder shape class (many queries over few reduced K/V tokens) —
+    matches the einsum in values and all three gradients."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _attn_xla,
+        attention_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    G, Nq, Nk, hd = 2, 128, 32, 24
+    q = jnp.asarray(rng.standard_normal((G, Nq, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((G, Nk, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((G, Nk, hd)).astype(np.float32))
+    scale = hd**-0.5
+    out = np.asarray(attention_pallas(q, k, v, scale, True))
+    ref = np.asarray(_attn_xla(q, k, v, scale))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss_pallas(q, k, v):
+        return (attention_pallas(q, k, v, scale, True) ** 2).mean()
+
+    def loss_ref(q, k, v):
+        return (_attn_xla(q, k, v, scale) ** 2).mean()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=f"d{name}"
+        )
+
+
 def test_post_epilogue_bwd_interpret():
     """Fused epilogue backward == jax.vjp of the XLA block math
     (values for every cotangent), interpret mode."""
