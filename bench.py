@@ -14,9 +14,10 @@ driver's BENCH_r*.json shows them too.
 
 Sections (each is independently fault-isolated — a failed section
 reports an ``*_error`` key instead of killing the line):
-  infer  — triplane_occ inference, B=4 (bf16, argmax logits)
-  train  — triplane_occ frozen fine-tune train step, B=2
-  mae    — triplane_range_cam MAE pretrain train step, B=1
+  infer  — triplane_occ inference, B=8 (bf16, argmax logits)
+  train  — triplane_occ frozen fine-tune train step, B=8
+  mae    — triplane_range_cam MAE pretrain train step, B=2
+           (production freeze; B=2 is the measured per-chip optimum)
 
 ``--only {infer,train,mae}`` runs one section (its number becomes the
 main metric).  ``--train`` is the legacy spelling of ``--only train``.
