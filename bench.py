@@ -61,6 +61,9 @@ def parse_args():
     p.add_argument("--fused", action="store_true",
                    help="use the flat fused AdamW (train/flat_opt.py) "
                    "in the train sections")
+    p.add_argument("--int8", action="store_true",
+                   help="quantized serving: dynamic int8 GEMMs in the "
+                   "inference section (ops/quant.py)")
     return p.parse_args()
 
 
@@ -186,7 +189,7 @@ def _time_train(step_fn, state, batch, iters: int):
     return dt, flops
 
 
-def bench_infer(batch_size: int, iters: int):
+def bench_infer(batch_size: int, iters: int, int8: bool = False):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
@@ -195,6 +198,9 @@ def bench_infer(batch_size: int, iters: int):
 
     cfg = get_config("triplane_occ")
     cfg["model"]["dtype"] = jnp.bfloat16
+    if int8:
+        for part in ("encoder", "neck", "decoder"):
+            cfg["model"][part]["int8"] = True
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size, with_occ=False, point_budget=4096, seed=0
@@ -347,7 +353,9 @@ def main():
     sections = {}
     plan = [only] if only else ["infer", "train", "mae"]
     runners = {
-        "infer": lambda: bench_infer(args.batch_size, args.iters),
+        "infer": lambda: bench_infer(
+            args.batch_size, args.iters, int8=args.int8
+        ),
         # Train sections run at their measured best per-chip operating
         # points (session-8 chip battery, production freeze: occ B8
         # 43.19 > B4 42.97 samples/s; MAE range_cam B2 10.03 > B1 8.52,

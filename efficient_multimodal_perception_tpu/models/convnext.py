@@ -94,12 +94,14 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path_rate: float = 0.0
     layer_scale_init: float = 1e-6
+    int8: bool = False  # quantized-serving epilogue GEMMs (fc1/fc2)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, x, mask=None, deterministic: bool = True, fused: bool = False
     ):
+        fused = fused and not self.int8  # int8 epilogue replaces Pallas
         C = self.dim
         dw_k = self.param(
             "dwconv_kernel", nn.initializers.lecun_normal(), (7, 7, 1, C)
@@ -146,7 +148,23 @@ class ConvNeXtBlock(nn.Module):
         ) + dw_b.astype(dt)
         if mask is not None:
             x = x * mask
-        if dt == jnp.bfloat16 and jax.default_backend() == "tpu":
+        if self.int8:
+            # quantized-serving epilogue: LN stays f32, the two MLP
+            # GEMMs (where the block's MXU FLOPs live) run dynamic int8
+            from ..ops.quant import quant_dense
+
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(axis=-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+            x = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+            x = quant_dense(x.astype(dt), w1, b1)
+            x = nn.gelu(x, approximate=False)
+            x = quant_dense(x, w2, b2)
+            if gamma is not None:
+                x = x * gamma.astype(x.dtype)
+            if mask is not None:
+                x = x * mask
+        elif dt == jnp.bfloat16 and jax.default_backend() == "tpu":
             # training path with stochastic depth: the fused epilogue
             # (with its fused Pallas backward) computes f(y); droppath
             # and the residual stay out here.  Masked (SparK) mode works
@@ -209,6 +227,7 @@ class MaskConvNeXt(nn.Module):
     frozen_stages: int = 0
     layer_scale_init: float = 1e-6
     fuse_inference: bool = True  # Pallas fused blocks on TPU inference
+    int8: bool = False  # quantized-serving block epilogues
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -244,6 +263,7 @@ class MaskConvNeXt(nn.Module):
                         channels[i],
                         drop_path_rate=rate,
                         layer_scale_init=self.layer_scale_init,
+                        int8=self.int8,
                         dtype=self.dtype,
                         name=f"stage{i}_block{j}",
                     )

@@ -61,6 +61,7 @@ class OccMlpHead(nn.Module):
 
     input_dim: int
     num_classes: int
+    int8: bool = False  # quantized-serving GEMMs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -70,16 +71,22 @@ class OccMlpHead(nn.Module):
         k2 = _Kernel((2 * C, C), name="conv2")()
         k3 = _Kernel((C, self.num_classes), name="conv3")()
         dt = self.dtype
+        if self.int8:
+            from ..ops.quant import quant_dense
+
+            mm = lambda a, k: quant_dense(a, k)  # noqa: E731
+        else:
+            mm = lambda a, k: a @ k.astype(a.dtype)  # noqa: E731
         if packed_z is None:
-            x = nn.relu(x.astype(dt) @ k1.astype(dt))
-            x = nn.relu(x @ k2.astype(dt))
-            return x @ k3.astype(dt)
+            x = nn.relu(mm(x.astype(dt), k1))
+            x = nn.relu(mm(x, k2))
+            return mm(x, k3)
 
         Z = packed_z
         eye = jnp.eye(Z, dtype=k1.dtype)
-        x = nn.relu(x.astype(dt) @ jnp.kron(eye, k1).astype(dt))
-        x = nn.relu(x @ jnp.kron(eye, k2).astype(dt))
-        x = x @ jnp.kron(eye, k3).astype(dt)
+        x = nn.relu(mm(x.astype(dt), jnp.kron(eye, k1)))
+        x = nn.relu(mm(x, jnp.kron(eye, k2)))
+        x = mm(x, jnp.kron(eye, k3))
         B, X, Y, _ = x.shape
         return x.reshape(B, X, Y, Z, self.num_classes)
 

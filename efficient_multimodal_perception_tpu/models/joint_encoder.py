@@ -68,16 +68,19 @@ class JointEncoder(nn.Module):
     camera_mask_scale: Tuple[int, int] = (16, 16)
     image_hw: Tuple[int, int] = (256, 512)
     embed_dims: int = 192
+    int8: bool = False  # quantized-serving epilogues in both ConvNeXts
     dtype: Any = jnp.float32
     # Max batch rows per interact body; see ``interact`` docstring.
     interact_batch_chunk: int = 4
 
     def setup(self):
         self.lidar_net = MaskConvNeXt(
-            **self.lidar_encoder, dtype=self.dtype, name="lidar_encoder"
+            **self.lidar_encoder, int8=self.int8, dtype=self.dtype,
+            name="lidar_encoder",
         )
         self.camera_net = MaskConvNeXt(
-            **self.camera_encoder, dtype=self.dtype, name="camera_encoder"
+            **self.camera_encoder, int8=self.int8, dtype=self.dtype,
+            name="camera_encoder",
         )
         self.position_encoder = PositionEncoder(
             self.embed_dims, dtype=self.dtype, name="position_encoder"

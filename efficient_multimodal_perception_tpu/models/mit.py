@@ -74,6 +74,20 @@ def _sp_constraint(x):
     return jax.lax.with_sharding_constraint(x, P(None, "model", None))
 
 
+def _dense(int8: bool, features: int, use_bias: bool, dtype, name: str):
+    """``nn.Dense`` or its int8-GEMM drop-in (same param tree).
+
+    The int8 path (``ops/quant.py``) is the opt-in quantized serving
+    mode — dynamic symmetric per-row/per-channel int8, hitting the v5e
+    MXU's 2x int8 rate on the neck's big matmuls.
+    """
+    if int8:
+        from ..ops.quant import Int8Dense
+
+        return Int8Dense(features, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 def _fused_attn(q, k, v, scale):
     """(B, h, Nq/Nk, hd) -> repo fused attention over flattened heads."""
     from ..ops.pallas_kernels import attention_pallas
@@ -101,6 +115,7 @@ class EfficientAttention(nn.Module):
     num_heads: int = 8
     sr_ratio: int = 1
     qkv_bias: bool = False
+    int8: bool = False  # quantized-serving GEMMs (q/kv/proj)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +126,7 @@ class EfficientAttention(nn.Module):
         hd = C // h
         scale = hd**-0.5
 
-        q = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+        q = _dense(self.int8, C, self.qkv_bias, self.dtype, "q")(x)
         if self.sr_ratio > 1:
             x_ = x.reshape(B, H, W, C)
             x_ = nn.Conv(
@@ -126,9 +141,7 @@ class EfficientAttention(nn.Module):
             x_ = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(x_)
         else:
             x_ = x
-        kv = nn.Dense(
-            2 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
-        )(x_)
+        kv = _dense(self.int8, 2 * C, self.qkv_bias, self.dtype, "kv")(x_)
         k, v = jnp.split(kv, 2, axis=-1)
 
         q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
@@ -144,7 +157,7 @@ class EfficientAttention(nn.Module):
             ).astype(x.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return _dense(self.int8, C, True, self.dtype, "proj")(out)
 
 
 class MixFFN(nn.Module):
@@ -155,13 +168,14 @@ class MixFFN(nn.Module):
 
     dim: int
     hidden_dim: int
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, hw: Tuple[int, int]):
         B, N, C = x.shape
         H, W = hw
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.int8, self.hidden_dim, True, self.dtype, "fc1")(x)
         x = x.reshape(B, H, W, self.hidden_dim)
         x = nn.Conv(
             self.hidden_dim,
@@ -173,7 +187,7 @@ class MixFFN(nn.Module):
         )(x)
         x = x.reshape(B, N, self.hidden_dim)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return _dense(self.int8, self.dim, True, self.dtype, "fc2")(x)
 
 
 class MiTBlock(nn.Module):
@@ -184,6 +198,7 @@ class MiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     sr_ratio: int = 1
     sp: bool = False  # sequence-parallel residual stream (Megatron SP)
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -194,12 +209,14 @@ class MiTBlock(nn.Module):
             self.dim,
             num_heads=self.num_heads,
             sr_ratio=self.sr_ratio,
+            int8=self.int8,
             dtype=self.dtype,
             name="attn",
         )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), hw))
         x = sp(x + MixFFN(
             self.dim,
             int(self.dim * self.mlp_ratio),
+            int8=self.int8,
             dtype=self.dtype,
             name="mlp",
         )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), hw))
@@ -255,6 +272,7 @@ class MixVisionTransformer(nn.Module):
     embed_dim: int = 768
     high: bool = False  # MixVisionTransformerHigh variant (mit.py:381-479)
     sp: bool = False  # sequence-parallel blocks (set by --sp under TP)
+    int8: bool = False  # quantized-serving GEMMs in the blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -276,6 +294,7 @@ class MixVisionTransformer(nn.Module):
                 mlp_ratio=2,
                 sr_ratio=1,
                 sp=self.sp,
+                int8=self.int8,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, (H, W))

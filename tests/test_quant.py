@@ -1,0 +1,139 @@
+"""Tests for the dynamic int8 quantized serving path (ops/quant.py).
+
+The int8 GEMM is an opt-in serving mode (no reference analogue — the
+reference's only reduced precision is fp16 loss-scale training); these
+tests pin its error contract and that toggling it is checkpoint-neutral.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from efficient_multimodal_perception_tpu.ops.quant import (  # noqa: E402
+    Int8Dense,
+    int8_matmul,
+    quant_dense,
+)
+
+
+def _rel_err(got, want):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    return np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+
+
+def test_int8_matmul_error_bound():
+    k = jax.random.key(0)
+    kx, kw = jax.random.split(k)
+    x = jax.random.normal(kx, (64, 96), jnp.float32)
+    w = jax.random.normal(kw, (96, 384), jnp.float32)
+    got = int8_matmul(x, w)
+    want = x @ w
+    # two symmetric int8 roundings: ~0.6% rms each at K=96; allow 3%
+    assert _rel_err(got, want) < 0.03
+
+
+def test_int8_matmul_batched_and_scaled_rows():
+    """Per-row scales: rows of wildly different magnitude each keep
+    their own relative accuracy."""
+    k = jax.random.key(1)
+    kx, kw = jax.random.split(k)
+    x = jax.random.normal(kx, (2, 32, 64), jnp.float32)
+    x = x * jnp.logspace(-2, 2, 32)[None, :, None]  # 1e-2 .. 1e2 rows
+    w = jax.random.normal(kw, (64, 128), jnp.float32)
+    got = np.asarray(int8_matmul(x, w), np.float32)
+    want = np.asarray(x @ w, np.float32)
+    for b in range(2):
+        for r in range(32):
+            assert _rel_err(got[b, r], want[b, r]) < 0.05
+
+
+def test_quant_dense_bias_matches_f32_bias_add():
+    k = jax.random.key(2)
+    x = jax.random.normal(k, (16, 32), jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (32, 48))
+    b = jax.random.normal(jax.random.fold_in(k, 2), (48,))
+    got = quant_dense(x, w, b)
+    assert got.dtype == jnp.bfloat16
+    want = x.astype(jnp.float32) @ w + b
+    assert _rel_err(got, want) < 0.05
+
+
+def test_int8_dense_param_tree_matches_nn_dense():
+    """Toggling int8 must not change the checkpoint format."""
+    import flax.linen as nn
+
+    x = jnp.ones((4, 16))
+    p_q = Int8Dense(24).init(jax.random.key(0), x)["params"]
+    p_d = nn.Dense(24).init(jax.random.key(0), x)["params"]
+    assert jax.tree_util.tree_structure(p_q) == jax.tree_util.tree_structure(
+        p_d
+    )
+    assert all(
+        a.shape == b.shape and a.dtype == b.dtype
+        for a, b in zip(jax.tree.leaves(p_q), jax.tree.leaves(p_d))
+    )
+    # and the initial values themselves are identical (same initializers)
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(p_q), jax.tree.leaves(p_d))
+    )
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_occ_head_int8_close(packed):
+    from efficient_multimodal_perception_tpu.models.heads import OccMlpHead
+
+    C, Z = 32, 16
+    x = jax.random.normal(jax.random.key(3), (2, 9, 9, Z * C))
+    if not packed:
+        x = x.reshape(2, 9, 9, Z, C)
+    head = OccMlpHead(input_dim=C, num_classes=5)
+    head8 = OccMlpHead(input_dim=C, num_classes=5, int8=True)
+    params = head.init(jax.random.key(0), x, packed_z=Z if packed else None)
+    want = head.apply(params, x, packed_z=Z if packed else None)
+    got = head8.apply(params, x, packed_z=Z if packed else None)
+    assert got.shape == want.shape
+    assert _rel_err(got, want) < 0.08
+
+
+def test_tiny_occ_int8_forward_close():
+    """Full tiny TriplaneOcc with int8 epilogues/neck/head: logits track
+    the f32 model and the argmax predictions mostly agree."""
+    from tiny import tiny_occ
+
+    from efficient_multimodal_perception_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from efficient_multimodal_perception_tpu.models.builder import (
+        build_model,
+    )
+
+    cfg = tiny_occ()
+    batch = synthetic_batch(1, with_occ=False, point_budget=512, seed=0)
+    model = build_model(cfg)
+    variables = model.init({"params": jax.random.key(0)}, batch)
+
+    cfg8 = tiny_occ()
+    for part in ("encoder", "neck", "decoder"):
+        cfg8[part]["int8"] = True
+    model8 = build_model(cfg8)
+    # same param tree: int8 is checkpoint-neutral
+    v8 = model8.init({"params": jax.random.key(0)}, batch)
+    assert jax.tree_util.tree_structure(v8) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    logits, _, _ = model.apply(variables, batch, deterministic=True)
+    logits8, _, _ = model8.apply(variables, batch, deterministic=True)
+    assert _rel_err(logits8, logits) < 0.12
+    agree = np.mean(
+        np.asarray(jnp.argmax(logits8, -1) == jnp.argmax(logits, -1))
+    )
+    assert agree > 0.98
