@@ -236,7 +236,9 @@ def bench_infer(batch_size: int, iters: int, int8: bool = False):
     )
 
 
-def bench_occ_train(batch_size: int, iters: int, fused: bool = False):
+def bench_occ_train(
+    batch_size: int, iters: int, fused: bool = False, int8: bool = False
+):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
@@ -246,6 +248,12 @@ def bench_occ_train(batch_size: int, iters: int, fused: bool = False):
     cfg = get_config("triplane_occ")
     cfg["model"]["dtype"] = jnp.bfloat16
     cfg["optimizer"]["fused"] = fused
+    if int8:
+        # quantize only the FROZEN submodules (encoder + neck are
+        # stop_gradient'd in the fine-tune step); the trained head
+        # stays bf16
+        for part in ("encoder", "neck"):
+            cfg["model"][part]["int8"] = True
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size, with_occ=True, point_budget=4096, seed=0

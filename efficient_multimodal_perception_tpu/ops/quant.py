@@ -44,16 +44,7 @@ def _sym_quant(x: jax.Array, axis: int) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
-    """``x @ w`` through a dynamic int8 MXU GEMM.
-
-    Args:
-        x: ``(..., M, K)`` activations (any float dtype).
-        w: ``(K, N)`` weights (any float dtype).
-
-    Returns:
-        ``(..., M, N)`` in ``x.dtype``.
-    """
+def _int8_matmul_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     xq, xs = _sym_quant(x, axis=-1)          # row scales (..., M, 1)
     wq, ws = _sym_quant(w, axis=0)           # col scales (1, N)
     acc = lax.dot_general(
@@ -62,6 +53,47 @@ def int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * xs * ws).astype(x.dtype)
+
+
+@jax.custom_vjp
+def int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``x @ w`` through a dynamic int8 MXU GEMM.
+
+    Differentiable via a straight-through estimator: the backward is the
+    exact matmul's (``round``'s true a.e.-zero derivative would silently
+    kill gradients), so the op is safe under ``jax.grad`` — enabling
+    both int8 on frozen submodules inside a train step and
+    quantization-aware fine-tuning.
+
+    Args:
+        x: ``(..., M, K)`` activations (any float dtype).
+        w: ``(K, N)`` weights (any float dtype).
+
+    Returns:
+        ``(..., M, N)`` in ``x.dtype``.
+    """
+    return _int8_matmul_impl(x, w)
+
+
+def _int8_matmul_fwd(x, w):
+    return _int8_matmul_impl(x, w), (x, w)
+
+
+def _int8_matmul_bwd(res, g):
+    x, w = res
+    dx = lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    ).astype(x.dtype)
+    # contract every leading (batch/row) axis: dw[k, n] = sum x[..., k] g[..., n]
+    lead = tuple(range(g.ndim - 1))
+    dw = lax.dot_general(
+        x, g, ((lead, lead), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return dx, dw
+
+
+int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 
 
 def quant_dense(x: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:

@@ -54,6 +54,28 @@ def test_int8_matmul_batched_and_scaled_rows():
             assert _rel_err(got[b, r], want[b, r]) < 0.05
 
 
+def test_int8_matmul_straight_through_grads():
+    """The STE backward is the exact matmul's VJP — grads neither vanish
+    (round's true derivative) nor deviate from the bf16 path's."""
+    k = jax.random.key(4)
+    x = jax.random.normal(k, (2, 8, 32), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (32, 16), jnp.float32)
+
+    def f_q(x, w):
+        return (int8_matmul(x, w) ** 2).sum()
+
+    def f_e(x, w):
+        return ((x @ w) ** 2).sum()
+
+    gx_q, gw_q = jax.grad(f_q, argnums=(0, 1))(x, w)
+    gx_e, gw_e = jax.grad(f_e, argnums=(0, 1))(x, w)
+    # the cotangent g itself differs by the fwd quantization error (~1%),
+    # the VJP linear maps are identical — so grads track within a few %
+    assert _rel_err(gx_q, gx_e) < 0.05
+    assert _rel_err(gw_q, gw_e) < 0.05
+    assert float(jnp.abs(gx_q).max()) > 0  # not killed by round()
+
+
 def test_quant_dense_bias_matches_f32_bias_add():
     k = jax.random.key(2)
     x = jax.random.normal(k, (16, 32), jnp.bfloat16)

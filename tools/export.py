@@ -41,6 +41,10 @@ def parse_args():
         help="bf16 compute dtype (the TPU serving configuration)",
     )
     p.add_argument(
+        "--int8", action="store_true",
+        help="export the dynamic-int8 quantized graph (ops/quant.py)",
+    )
+    p.add_argument(
         "--validate", action="store_true",
         help="deserialize the artifact and compare against the live "
         "model on a synthetic batch",
@@ -100,6 +104,10 @@ def main():
     cfg = get_config(args.config)
     if args.bf16:
         cfg["model"]["dtype"] = jnp.bfloat16
+    if args.int8:
+        for part in ("encoder", "neck", "decoder"):
+            if part in cfg["model"]:
+                cfg["model"][part]["int8"] = True
     model = build_model(cfg["model"])
     model_type = cfg["model"]["type"]
 

@@ -98,6 +98,9 @@ def main():
             ("infer_B8_bf16", lambda: bench.bench_infer(8, args.iters)),
             ("infer_B8_int8",
              lambda: bench.bench_infer(8, args.iters, int8=True)),
+            ("occ_train_B8_int8",
+             lambda: bench.bench_occ_train(
+                 8, max(10, args.iters // 3), int8=True)),
         ]
 
     for name, fn in jobs:

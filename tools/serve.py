@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=4,
                    help="the ONE static batch size the model compiles at")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="quantized serving: dynamic int8 GEMMs "
+                   "(ops/quant.py) in encoder/neck/decoder")
     p.add_argument("--coalesce-ms", type=float, default=5.0,
                    help="max wait after the first queued sample before "
                    "dispatching a partial batch")
@@ -184,7 +187,7 @@ class InferenceWorker(threading.Thread):
 
 
 def make_server(cfg_name, checkpoint=None, port=8500, batch_size=4,
-                bf16=False, coalesce_ms=5.0):
+                bf16=False, coalesce_ms=5.0, int8=False):
     """Build (HTTPServer, worker); separated from main() for tests."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -211,6 +214,10 @@ def make_server(cfg_name, checkpoint=None, port=8500, batch_size=4,
     cfg = get_config(cfg_name)
     if bf16:
         cfg["model"]["dtype"] = jnp.bfloat16
+    if int8:
+        for part in ("encoder", "neck", "decoder"):
+            if part in cfg["model"]:
+                cfg["model"][part]["int8"] = True
     model = build_model(cfg["model"])
     model_type = cfg["model"]["type"]
     if not (model_type.endswith("Occ") or model_type == "TriplaneElev"):
@@ -305,7 +312,7 @@ def main():
     server, _ = make_server(
         args.config, checkpoint=args.checkpoint, port=args.port,
         batch_size=args.batch_size, bf16=args.bf16,
-        coalesce_ms=args.coalesce_ms,
+        coalesce_ms=args.coalesce_ms, int8=args.int8,
     )
     print(f"serving on 127.0.0.1:{server.server_address[1]} "
           f"(POST /predict, GET /healthz)", flush=True)
