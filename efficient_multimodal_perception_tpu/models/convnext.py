@@ -101,7 +101,6 @@ class ConvNeXtBlock(nn.Module):
     def __call__(
         self, x, mask=None, deterministic: bool = True, fused: bool = False
     ):
-        fused = fused and not self.int8  # int8 epilogue replaces Pallas
         C = self.dim
         dw_k = self.param(
             "dwconv_kernel", nn.initializers.lecun_normal(), (7, 7, 1, C)
@@ -130,6 +129,12 @@ class ConvNeXtBlock(nn.Module):
         if fused and mask is None and (
             deterministic or self.drop_path_rate == 0.0
         ):
+            if self.int8:
+                from ..ops.pallas_kernels import convnext_block_int8_fused
+
+                return convnext_block_int8_fused(
+                    x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma
+                )
             from ..ops.pallas_kernels import convnext_block_fused
 
             return convnext_block_fused(

@@ -1516,3 +1516,185 @@ def _epilogue_impl(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
         interpret=interpret,
     )(*operands)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# int8 fused block epilogue (quantized serving path)
+# ---------------------------------------------------------------------------
+# The bf16 fused epilogue (`_post_kernel`) is HBM/MXU balanced at the
+# wide stages (C=384/768); the v5e MXU runs int8 x int8 -> int32 at 2x
+# the bf16 rate, so quantizing the two GEMMs in-kernel (activations
+# per-row, weights per-column, exactly ops/quant.py's recipe but with
+# zero extra HBM traffic -- the int8 tensors never leave VMEM) halves
+# the MXU half of that balance.  Weights are pre-quantized outside the
+# kernel (O(C^2) per step, negligible) and arrive as int8 + f32 column
+# scales; at C=768 that also halves the kernel's resident weight VMEM
+# (9.4 -> 4.7 MB).
+
+
+def _quantize_cols(w):
+    """Per-output-channel symmetric int8: (K, N) -> int8 (K, N), f32 (N,)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    ws = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wf / ws), -127, 127).astype(jnp.int8)
+    return wq, ws
+
+
+def _quant_rows_vmem(z):
+    """In-kernel per-row int8 quantization of an f32 tile."""
+    amax = jnp.max(jnp.abs(z), axis=-1, keepdims=True)
+    zs = jnp.maximum(amax, 1e-12) / 127.0
+    zq = jnp.clip(jnp.round(z / zs), -127.0, 127.0).astype(jnp.int8)
+    return zq, zs
+
+
+def _post_kernel_int8(
+    x_ref, y_ref, lns_ref, lnb_ref, w1q_ref, w1s_ref, b1_ref,
+    w2q_ref, w2s_ref, b2_ref, gamma_ref, out_ref,
+):
+    """``_post_kernel`` with both MLP GEMMs on the int8 MXU path."""
+    yf = y_ref[:].astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    z = (yf - mu) * jax.lax.rsqrt(var + 1e-6)
+    z = z * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+
+    zq, zs = _quant_rows_vmem(z)
+    h = jnp.dot(zq, w1q_ref[:], preferred_element_type=jnp.int32)
+    h = h.astype(jnp.float32) * zs * w1s_ref[:] + b1_ref[:]
+    h = _gelu_erf(h)
+    hq, hs = _quant_rows_vmem(h)
+    o = jnp.dot(hq, w2q_ref[:], preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * hs * w2s_ref[:] + b2_ref[:]
+    if gamma_ref is not None:
+        o = o * gamma_ref[:].astype(jnp.float32)
+    out_ref[:] = (x_ref[:].astype(jnp.float32) + o).astype(out_ref.dtype)
+
+
+def _xla_block_int8_math(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    """XLA restatement of the int8 fused block (same quantization law,
+    via ops/quant.int8_matmul) — the differentiation rule and the
+    interpret-mode oracle."""
+    from .quant import quant_dense
+
+    C = x.shape[-1]
+    dt = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, dw_k.astype(dt), (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    ) + dw_b.astype(dt)
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(axis=-1, keepdims=True)
+    var = ((yf - mu) ** 2).mean(axis=-1, keepdims=True)
+    z = (yf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+    h = quant_dense(z.astype(dt), w1, b1)
+    import flax.linen as nn
+
+    h = nn.gelu(h.astype(jnp.float32), approximate=False)
+    o = quant_dense(h.astype(dt), w2, b2)
+    if gamma is not None:
+        o = o * gamma.astype(o.dtype)
+    return x + o
+
+
+@jax.custom_vjp
+def convnext_block_int8_fused(
+    x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma
+):
+    """int8 sibling of ``convnext_block_fused``: dwconv in XLA (bf16),
+    LN + int8 MLP + scale + residual in one Pallas pass.
+
+    Differentiable via an XLA replay of the straight-through int8 math
+    (frozen serving encoders never reach it).
+    """
+    return _block_int8_impl(
+        x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _block_int8_fwd(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
+    args = (x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma)
+    return _block_int8_impl(
+        *args, interpret=jax.default_backend() != "tpu"
+    ), args
+
+
+def _block_int8_bwd(res, g):
+    _, vjp = jax.vjp(_xla_block_int8_math, *res)
+    return vjp(g)
+
+
+convnext_block_int8_fused.defvjp(_block_int8_fwd, _block_int8_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _block_int8_impl(
+    x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma, interpret=False
+):
+    N, H, W, C = x.shape
+    dt = x.dtype
+
+    y = jax.lax.conv_general_dilated(
+        x,
+        dw_k.astype(dt),
+        window_strides=(1, 1),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    ) + dw_b.astype(dt)
+
+    w1q, w1s = _quantize_cols(w1)
+    w2q, w2s = _quantize_cols(w2)
+
+    M = N * H * W
+    # the hidden activation here is f32 (R, 4C) (int32 accumulator and
+    # its dequant), 2x the bf16 kernel's — halve the row budget
+    R = min(_post_rows(M, C), max(256, _post_rows(M, 2 * C)))
+    has_gamma = gamma is not None
+
+    kernel = _post_kernel_int8
+    if not has_gamma:
+        def kernel(*refs):  # noqa: F811
+            return _post_kernel_int8(*refs[:10], None, refs[10])
+
+    operands = [
+        x.reshape(M, C),
+        y.reshape(M, C),
+        ln_s.astype(jnp.float32),
+        ln_b.astype(jnp.float32),
+        w1q,
+        w1s,
+        b1.astype(jnp.float32),
+        w2q,
+        w2s,
+        b2.astype(jnp.float32),
+    ]
+    if has_gamma:
+        operands.append(gamma.astype(jnp.float32))
+
+    specs = [
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            arg.shape,
+            lambda i, nd=arg.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for arg in operands[2:]
+    ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(M // R,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (R, C), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, C), dt),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(N, H, W, C)
