@@ -199,8 +199,9 @@ def bench_infer(batch_size: int, iters: int, int8: bool = False):
     cfg = get_config("triplane_occ")
     cfg["model"]["dtype"] = jnp.bfloat16
     if int8:
-        for part in ("encoder", "neck", "decoder"):
-            cfg["model"][part]["int8"] = True
+        from efficient_multimodal_perception_tpu.ops.quant import enable_int8
+
+        enable_int8(cfg["model"])
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size, with_occ=False, point_budget=4096, seed=0
@@ -250,8 +251,9 @@ def bench_occ_train(
     cfg["optimizer"]["fused"] = fused
     if int8:
         # quantize only the FROZEN submodules (encoder + neck are
-        # stop_gradient'd in the fine-tune step); the trained head
-        # stays bf16
+        # stop_gradient'd in the fine-tune step); the TRAINED head
+        # stays bf16 (cf. ops/quant.enable_int8, which is the
+        # everything-quantized serving toggle)
         for part in ("encoder", "neck"):
             cfg["model"][part]["int8"] = True
     model = build_model(cfg["model"])

@@ -31,6 +31,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def enable_int8(model_cfg: dict) -> dict:
+    """Flip the int8 flag on every submodule config that supports it.
+
+    Encoder (JointEncoder / MaskConvNeXt) and MixVisionTransformer necks
+    always do; of the decoders only the occ ``Mlp`` head has an int8
+    path (conv-stack heads like the elevation U-Net stay bf16).
+    Mutates and returns ``model_cfg``.
+    """
+    for part in ("encoder", "neck", "camera_encoder", "triplane_encoder"):
+        if part in model_cfg:
+            model_cfg[part]["int8"] = True
+    if model_cfg.get("decoder", {}).get("type") == "Mlp":
+        model_cfg["decoder"]["int8"] = True
+    return model_cfg
+
+
 def _sym_quant(x: jax.Array, axis: int) -> tuple[jax.Array, jax.Array]:
     """Symmetric int8 quantization along ``axis``.
 

@@ -213,3 +213,24 @@ def test_int8_fused_block_kernel_matches_xla_int8_math():
     )(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_enable_int8_config_helper():
+    """enable_int8 flips every supporting submodule and skips conv-stack
+    decoders (which have no int8 attr); the results still build."""
+    from tiny import tiny_elev, tiny_occ, tiny_point
+
+    from efficient_multimodal_perception_tpu.models.builder import (
+        build_model,
+    )
+    from efficient_multimodal_perception_tpu.ops.quant import enable_int8
+
+    occ = enable_int8(tiny_occ())
+    assert occ["encoder"]["int8"] and occ["neck"]["int8"]
+    assert occ["decoder"]["int8"]
+    elev = enable_int8(tiny_elev())
+    assert "int8" not in elev["decoder"]  # ResnetBasicBlock head: bf16
+    pt = enable_int8(tiny_point(occ=True))
+    assert pt["camera_encoder"]["int8"] and pt["triplane_encoder"]["int8"]
+    for cfg in (occ, elev, pt):
+        build_model(cfg)  # attrs accepted by every touched module

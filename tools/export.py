@@ -105,9 +105,9 @@ def main():
     if args.bf16:
         cfg["model"]["dtype"] = jnp.bfloat16
     if args.int8:
-        for part in ("encoder", "neck", "decoder"):
-            if part in cfg["model"]:
-                cfg["model"][part]["int8"] = True
+        from efficient_multimodal_perception_tpu.ops.quant import enable_int8
+
+        enable_int8(cfg["model"])
     model = build_model(cfg["model"])
     model_type = cfg["model"]["type"]
 

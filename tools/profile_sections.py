@@ -5,7 +5,9 @@ Times each stage of the forward separately (jitted, hard-synced via a
 small host transfer — block_until_ready does not block through the axon
 tunnel) to direct kernel work at the actual bottleneck.
 
-    python tools/profile_sections.py [batch_size] [iters]
+    python tools/profile_sections.py [batch_size] [iters] [--int8]
+
+``--int8`` profiles the quantized serving variant (ops/quant.py).
 """
 
 from __future__ import annotations
@@ -33,8 +35,10 @@ def timeit(fn, *args, iters=20, warmup=2):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    int8 = "--int8" in sys.argv
+    argv = [a for a in sys.argv if a != "--int8"]
+    B = int(argv[1]) if len(argv) > 1 else 4
+    iters = int(argv[2]) if len(argv) > 2 else 20
 
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
@@ -44,6 +48,10 @@ def main():
 
     cfg = get_config("triplane_occ")
     cfg["model"]["dtype"] = jnp.bfloat16
+    if int8:
+        from efficient_multimodal_perception_tpu.ops.quant import enable_int8
+
+        enable_int8(cfg["model"])
     model = build_model(cfg["model"])
     batch = synthetic_batch(B, point_budget=4096, seed=0)
     variables = jax.jit(

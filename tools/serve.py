@@ -215,9 +215,9 @@ def make_server(cfg_name, checkpoint=None, port=8500, batch_size=4,
     if bf16:
         cfg["model"]["dtype"] = jnp.bfloat16
     if int8:
-        for part in ("encoder", "neck", "decoder"):
-            if part in cfg["model"]:
-                cfg["model"][part]["int8"] = True
+        from efficient_multimodal_perception_tpu.ops.quant import enable_int8
+
+        enable_int8(cfg["model"])
     model = build_model(cfg["model"])
     model_type = cfg["model"]["type"]
     if not (model_type.endswith("Occ") or model_type == "TriplaneElev"):
