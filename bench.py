@@ -64,6 +64,9 @@ def parse_args():
     p.add_argument("--int8", action="store_true",
                    help="quantized serving: dynamic int8 GEMMs in the "
                    "inference section (ops/quant.py)")
+    p.add_argument("--int8-parts", default=None,
+                   help="comma list restricting --int8 to submodule keys "
+                   "(encoder,neck,decoder) — for isolating wins per part")
     return p.parse_args()
 
 
@@ -189,7 +192,9 @@ def _time_train(step_fn, state, batch, iters: int):
     return dt, flops
 
 
-def bench_infer(batch_size: int, iters: int, int8: bool = False):
+def bench_infer(
+    batch_size: int, iters: int, int8: bool = False, int8_parts=None
+):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
         synthetic_batch,
@@ -201,7 +206,7 @@ def bench_infer(batch_size: int, iters: int, int8: bool = False):
     if int8:
         from efficient_multimodal_perception_tpu.ops.quant import enable_int8
 
-        enable_int8(cfg["model"])
+        enable_int8(cfg["model"], parts=int8_parts)
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size, with_occ=False, point_budget=4096, seed=0
@@ -364,7 +369,11 @@ def main():
     plan = [only] if only else ["infer", "train", "mae"]
     runners = {
         "infer": lambda: bench_infer(
-            args.batch_size, args.iters, int8=args.int8
+            args.batch_size, args.iters, int8=args.int8,
+            int8_parts=(
+                tuple(args.int8_parts.split(","))
+                if args.int8_parts else None
+            ),
         ),
         # Train sections run at their measured best per-chip operating
         # points (session-8 chip battery, production freeze: occ B8

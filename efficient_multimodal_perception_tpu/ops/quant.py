@@ -31,18 +31,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def enable_int8(model_cfg: dict) -> dict:
+def enable_int8(model_cfg: dict, parts: tuple[str, ...] | None = None) -> dict:
     """Flip the int8 flag on every submodule config that supports it.
 
     Encoder (JointEncoder / MaskConvNeXt) and MixVisionTransformer necks
     always do; of the decoders only the occ ``Mlp`` head has an int8
     path (conv-stack heads like the elevation U-Net stay bf16).
-    Mutates and returns ``model_cfg``.
+    ``parts`` restricts the flip to a subset of submodule keys (e.g.
+    ``("neck", "decoder")``) — used to isolate which GEMMs actually win
+    from int8 on a given chip.  Mutates and returns ``model_cfg``.
     """
     for part in ("encoder", "neck", "camera_encoder", "triplane_encoder"):
-        if part in model_cfg:
+        if part in model_cfg and (parts is None or part in parts):
             model_cfg[part]["int8"] = True
-    if model_cfg.get("decoder", {}).get("type") == "Mlp":
+    if model_cfg.get("decoder", {}).get("type") == "Mlp" and (
+        parts is None or "decoder" in parts
+    ):
         model_cfg["decoder"]["int8"] = True
     return model_cfg
 

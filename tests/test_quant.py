@@ -234,3 +234,9 @@ def test_enable_int8_config_helper():
     assert pt["camera_encoder"]["int8"] and pt["triplane_encoder"]["int8"]
     for cfg in (occ, elev, pt):
         build_model(cfg)  # attrs accepted by every touched module
+
+    # parts filter (used by bench.py --int8-parts to isolate wins):
+    # only the named submodules flip.
+    sub = enable_int8(tiny_occ(), parts=("neck", "decoder"))
+    assert sub["neck"]["int8"] and sub["decoder"]["int8"]
+    assert "int8" not in sub["encoder"]
