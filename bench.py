@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -322,16 +323,21 @@ def bench_mae_train(
     )
 
 
-def _preflight(timeout_s: int = 240) -> str | None:
+def _preflight(timeout_s: int | None = None) -> str | None:
     """Probe the device with a tiny transfer in a SUBPROCESS.
 
     A dead axon relay makes every device call block forever in C (no
     signal can interrupt it), so the probe must be killable from
     outside.  Returns an error string, or None if the device answers.
-    The generous timeout covers first-contact backend init (~40 s).
+    The generous timeout covers first-contact backend init (~40 s);
+    BENCH_PREFLIGHT_S overrides it (the probe can exceed 240 s when the
+    1-core host is contended — e.g. a pytest run in parallel).
     """
     import subprocess
     import sys
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_PREFLIGHT_S", "240"))
 
     code = (
         "import jax, numpy as np, jax.numpy as jnp;"
