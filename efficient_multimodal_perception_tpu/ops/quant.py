@@ -31,6 +31,10 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_INT8_PARTS = ("encoder", "neck", "camera_encoder", "triplane_encoder",
+               "decoder")
+
+
 def enable_int8(model_cfg: dict, parts: tuple[str, ...] | None = None) -> dict:
     """Flip the int8 flag on every submodule config that supports it.
 
@@ -39,8 +43,17 @@ def enable_int8(model_cfg: dict, parts: tuple[str, ...] | None = None) -> dict:
     path (conv-stack heads like the elevation U-Net stay bf16).
     ``parts`` restricts the flip to a subset of submodule keys (e.g.
     ``("neck", "decoder")``) — used to isolate which GEMMs actually win
-    from int8 on a given chip.  Mutates and returns ``model_cfg``.
+    from int8 on a given chip.  Unknown part names raise (a silently
+    ignored typo would run pure bf16 while labeled as an int8
+    measurement).  Mutates and returns ``model_cfg``.
     """
+    if parts is not None:
+        parts = tuple(p.strip() for p in parts)
+        unknown = sorted(set(parts) - set(_INT8_PARTS))
+        if unknown:
+            raise ValueError(
+                f"unknown int8 parts {unknown}; valid: {_INT8_PARTS}"
+            )
     for part in ("encoder", "neck", "camera_encoder", "triplane_encoder"):
         if part in model_cfg and (parts is None or part in parts):
             model_cfg[part]["int8"] = True

@@ -240,3 +240,12 @@ def test_enable_int8_config_helper():
     sub = enable_int8(tiny_occ(), parts=("neck", "decoder"))
     assert sub["neck"]["int8"] and sub["decoder"]["int8"]
     assert "int8" not in sub["encoder"]
+
+    # whitespace from a CLI comma-split is tolerated; a typo raises
+    # instead of silently benchmarking pure bf16 (ADVICE r3)
+    ws = enable_int8(tiny_occ(), parts=(" neck ", "decoder"))
+    assert ws["neck"]["int8"]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown int8 parts"):
+        enable_int8(tiny_occ(), parts=("nek",))
