@@ -219,6 +219,19 @@ class MaskConvNeXt(nn.Module):
         out_all_scale: return all 4 stage outputs (for FPN).
         frozen_stages: stages with droppath disabled (optimizer handles
             the actual weight freeze).
+        multiscale: register the 1x1 ``reduce_dim`` convs
+            (``mask_convnext.py:207-210``).  The reference BUILDS these
+            (nn.Conv2d(channels[i], 768, 1) per stage) but never calls
+            them in any forward — parity means the parameters exist in
+            the checkpoint and stay dead.  Off in every shipped config.
+        mae_cfg: dict(downsample_scale, downsample_dim, mask_ratio,
+            learnable) — the reference's SparK masking config
+            (``mask_convnext.py:213-226``).  Only ``learnable`` has a
+            parameter effect: it registers ``mtoken{out_indices}``
+            (trunc-normal(0.02) clipped to ±0.02), which — like
+            reduce_dim — no forward ever reads (every shipped config
+            sets learnable=False; masking itself is driven by
+            ``active_mask`` / JointEncoder's mask ratios here).
     """
 
     arch: Any = "tiny"  # name or {"depths": ..., "channels": ...} dict
@@ -233,6 +246,8 @@ class MaskConvNeXt(nn.Module):
     layer_scale_init: float = 1e-6
     fuse_inference: bool = True  # Pallas fused blocks on TPU inference
     int8: bool = False  # quantized-serving block epilogues
+    multiscale: bool = False  # registered-but-dead reduce_dim convs
+    mae_cfg: Optional[Any] = None  # SparK cfg; learnable=True -> mtoken
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -277,6 +292,37 @@ class MaskConvNeXt(nn.Module):
             stages.append(blocks)
         self.downsample_layers = downs
         self.stages_ = stages
+
+        # Registered-but-dead parameters, reproduced for checkpoint /
+        # importer parity (the reference builds both and never applies
+        # either in any forward path):
+        if self.multiscale:
+            # mask_convnext.py:207-210 — nn.Conv2d(channels[i], 768, 1)
+            # per stage (768 hardcoded there too), NHWC HWIO here.
+            for i, c in enumerate(channels):
+                self.param(
+                    f"reduce_dim_{i}_kernel",
+                    nn.linear.default_kernel_init,
+                    (1, 1, c, 768),
+                )
+                self.param(
+                    f"reduce_dim_{i}_bias", nn.initializers.zeros, (768,)
+                )
+        mae_cfg = dict(self.mae_cfg) if self.mae_cfg else {}
+        if mae_cfg.get("learnable"):
+            # mask_convnext.py:215-226 — torch shape
+            # (1, downsample_dim // 2**(4-i-1), 1, 1), trunc_normal
+            # std=0.02 clipped to [-0.02, 0.02] (i.e. ±1σ); NHWC
+            # (1, 1, 1, C) here (importer transposes).
+            i = self.out_indices
+            c = mae_cfg.get("downsample_dim", 768) // 2 ** (4 - i - 1)
+            self.param(
+                f"mtoken{i}",
+                nn.initializers.truncated_normal(
+                    stddev=0.02, lower=-1.0, upper=1.0
+                ),
+                (1, 1, 1, c),
+            )
         # NOTE: norm_out is accepted for config-surface parity but is
         # DEAD, exactly as in the reference: MaskConvNeXt registers
         # ``norm{i}`` (mask_convnext.py:201-205) yet its forward never

@@ -152,3 +152,57 @@ def test_fpn_returns_finest():
     v = fpn.init(jax.random.key(0), ins, train=False)
     y = fpn.apply(v, ins, train=False)
     assert y.shape == (1, 32, 32, 6)
+
+
+def test_convnext_dead_registered_params():
+    """multiscale reduce_dim convs (mask_convnext.py:207-210) and the
+    learnable mask token (:215-226) are REGISTERED but never applied in
+    any reference forward — parity = params exist with the right
+    shapes/init and the forward is bit-identical to the plain module."""
+    kw = dict(arch=ARCH, stem_patch_size=(2, 2), out_indices=1)
+    plain = MaskConvNeXt(**kw)
+    full = MaskConvNeXt(
+        **kw,
+        multiscale=True,
+        mae_cfg=dict(downsample_scale=8, downsample_dim=768,
+                     mask_ratio=0.5, learnable=True),
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 64, 3)), jnp.float32)
+    v0 = plain.init(jax.random.key(0), x)
+    v1 = full.init(jax.random.key(0), x)
+
+    p = v1["params"]
+    for i, c in enumerate(ARCH["channels"]):
+        assert p[f"reduce_dim_{i}_kernel"].shape == (1, 1, c, 768)
+        assert p[f"reduce_dim_{i}_bias"].shape == (768,)
+    # out_indices=1 -> C = downsample_dim // 2**(4-1-1) = 768 // 4
+    tok = p["mtoken1"]
+    assert tok.shape == (1, 1, 1, 192)
+    assert float(jnp.abs(tok).max()) <= 0.02 + 1e-6  # clipped ±1σ
+    assert float(jnp.abs(tok).max()) > 0.0
+
+    # dead in forward: same params elsewhere -> identical output
+    y0 = plain.apply(v0, x)
+    y1 = full.apply({"params": {**v0["params"],
+                                **{k: p[k] for k in p
+                                   if k.startswith(("reduce_dim_",
+                                                    "mtoken"))}}}, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    # importer maps the torch names onto these params
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from import_torch_ckpt import map_torch_key
+
+    path, tf = map_torch_key("camera_encoder.mtoken1")
+    assert path == "camera_encoder/mtoken1"
+    w = np.zeros((1, 192, 1, 1), np.float32)
+    assert tf(w).shape == (1, 1, 1, 192)
+    path, tf = map_torch_key("camera_encoder.reduce_dim.2.weight")
+    assert path == "camera_encoder/reduce_dim_2_kernel"
+    assert tf(np.zeros((768, 16, 1, 1), np.float32)).shape == (1, 1, 16, 768)
+    path, _ = map_torch_key("camera_encoder.reduce_dim.2.bias")
+    assert path == "camera_encoder/reduce_dim_2_bias"

@@ -88,6 +88,24 @@ def map_torch_key(key: str):
     tf = None
 
     # ---- ConvNeXt encoders (mask_convnext.py) ----
+    # registered-but-dead params kept for checkpoint parity:
+    # mtoken{i} (mask_convnext.py:215-226, torch (1,C,1,1) -> NHWC
+    # (1,1,1,C)) and the multiscale reduce_dim 1x1 convs (:207-210)
+    m = re.search(r"mtoken(\d)$", k)
+    if m:
+        head = k[: m.start()].replace(".", "/")
+        return (
+            f"{head}mtoken{m.group(1)}",
+            lambda w: np.ascontiguousarray(np.transpose(w, (0, 2, 3, 1))),
+        )
+    m = re.search(r"reduce_dim\.(\d+)\.(weight|bias)$", k)
+    if m:
+        i, wb = int(m.group(1)), m.group(2)
+        head = k[: m.start()].replace(".", "/")
+        leaf = "kernel" if wb == "weight" else "bias"
+        tf = _conv if wb == "weight" else None
+        return f"{head}reduce_dim_{i}_{leaf}", tf
+
     m = re.search(r"downsample_layers\.(\d+)\.(\d+)\.(weight|bias)$", k)
     if m:
         i, j, wb = int(m.group(1)), int(m.group(2)), m.group(3)
