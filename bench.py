@@ -87,6 +87,10 @@ def parse_args():
     p.add_argument("--int8-parts", default=None,
                    help="comma list restricting --int8 to submodule keys "
                    "(encoder,neck,decoder) — for isolating wins per part")
+    p.add_argument("--int8-static", action="store_true",
+                   help="calibrated static activation scales instead of "
+                   "the dynamic per-row amax pass (implies --int8; "
+                   "2-batch offline calibration before timing)")
     return p.parse_args()
 
 
@@ -213,7 +217,11 @@ def _time_train(step_fn, state, batch, iters: int):
 
 
 def bench_infer(
-    batch_size: int, iters: int, int8: bool = False, int8_parts=None
+    batch_size: int,
+    iters: int,
+    int8: bool = False,
+    int8_parts=None,
+    int8_mode: str = "dynamic",
 ):
     from efficient_multimodal_perception_tpu.configs import get_config
     from efficient_multimodal_perception_tpu.data.synthetic import (
@@ -226,7 +234,7 @@ def bench_infer(
     if int8:
         from efficient_multimodal_perception_tpu.ops.quant import enable_int8
 
-        enable_int8(cfg["model"], parts=int8_parts)
+        enable_int8(cfg["model"], parts=int8_parts, mode=int8_mode)
     model = build_model(cfg["model"])
     batch = synthetic_batch(
         batch_size, with_occ=False, point_budget=4096, seed=0
@@ -236,6 +244,22 @@ def bench_infer(
             lambda b: model.init({"params": jax.random.key(0)}, b)
         )(batch)
     )
+
+    if int8 and int8_mode == "static":
+        # offline activation-scale calibration: run a couple of batches
+        # with the "quant" collection mutable so every site records its
+        # running amax; the timed serving path then uses the static
+        # scales (no per-call amax reduction).
+        calib = jax.jit(
+            lambda v, b: model.apply(
+                v, b, deterministic=True, mutable=["quant"]
+            )[1]["quant"]
+        )
+        for seed in (1, 2):
+            cb = _device_batch(synthetic_batch(
+                batch_size, with_occ=False, point_budget=4096, seed=seed
+            ))
+            variables = {**variables, "quant": calib(variables, cb)}
 
     batch = _device_batch(batch)
 
@@ -585,8 +609,8 @@ def _emit_stale_or_error(err: str, cacheable: bool) -> None:
 def main():
     args = parse_args()
     only = args.only or ("train" if args.train else None)
-    if args.int8_parts and not args.int8:
-        args.int8 = True  # --int8-parts implies --int8 (ADVICE r3)
+    if (args.int8_parts or args.int8_static) and not args.int8:
+        args.int8 = True  # --int8-parts/--int8-static imply --int8
     # A "default run" is what the driver invokes; only its result is
     # cached / served stale (flagged runs measure something else).
     cacheable = (
@@ -613,6 +637,7 @@ def main():
                 )
                 if args.int8_parts else None
             ),
+            int8_mode="static" if args.int8_static else "dynamic",
         ),
         # Train sections run at their measured best per-chip operating
         # points (session-8 chip battery, production freeze: occ B8
@@ -627,12 +652,15 @@ def main():
             2, max(8, args.iters // 4), fused=args.fused
         ),
         # Point-family + elevation operating points from the r4 chip
-        # battery (tools/measure_r4.py).
+        # battery (tools/measure_r4.py): point infer B8 26.22 > B4
+        # 25.25 samples/s; point train B2 8.1 (B4 crashes the remote
+        # compiler — under investigation); elev train B4 36.26 > B2
+        # 30.95.
         "point": lambda: bench_point_infer(
             min(args.batch_size, 8), max(10, args.iters // 3)
         ),
         "point_train": lambda: bench_point_train(
-            4, max(8, args.iters // 4), fused=args.fused
+            2, max(8, args.iters // 4), fused=args.fused
         ),
         "elev": lambda: bench_elev_train(
             4, max(8, args.iters // 4), fused=args.fused

@@ -94,7 +94,10 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path_rate: float = 0.0
     layer_scale_init: float = 1e-6
-    int8: bool = False  # quantized-serving epilogue GEMMs (fc1/fc2)
+    # quantized-serving epilogue GEMMs (fc1/fc2): True = dynamic
+    # per-row scales (fused Pallas kernel), "static" = calibrated
+    # per-tensor scales (XLA path; no fused static kernel yet)
+    int8: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +129,7 @@ class ConvNeXtBlock(nn.Module):
             else None
         )
 
-        if fused and mask is None and (
+        if fused and mask is None and self.int8 != "static" and (
             deterministic or self.drop_path_rate == 0.0
         ):
             if self.int8:
@@ -155,16 +158,24 @@ class ConvNeXtBlock(nn.Module):
             x = x * mask
         if self.int8:
             # quantized-serving epilogue: LN stays f32, the two MLP
-            # GEMMs (where the block's MXU FLOPs live) run dynamic int8
-            from ..ops.quant import quant_dense
+            # GEMMs (where the block's MXU FLOPs live) run int8 —
+            # dynamic per-row scales, or calibrated per-tensor scales
+            # when int8=="static" (ops/quant.quant_dense_site)
+            from ..ops.quant import quant_dense, quant_dense_site
 
+            if self.int8 == "static":
+                qd = lambda n, a, k, b: quant_dense_site(  # noqa: E731
+                    self, n, a, k, b
+                )
+            else:
+                qd = lambda n, a, k, b: quant_dense(a, k, b)  # noqa: E731
             xf = x.astype(jnp.float32)
             mu = xf.mean(axis=-1, keepdims=True)
             var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
             x = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
-            x = quant_dense(x.astype(dt), w1, b1)
+            x = qd("fc1", x.astype(dt), w1, b1)
             x = nn.gelu(x, approximate=False)
-            x = quant_dense(x, w2, b2)
+            x = qd("fc2", x, w2, b2)
             if gamma is not None:
                 x = x * gamma.astype(x.dtype)
             if mask is not None:
@@ -245,7 +256,7 @@ class MaskConvNeXt(nn.Module):
     frozen_stages: int = 0
     layer_scale_init: float = 1e-6
     fuse_inference: bool = True  # Pallas fused blocks on TPU inference
-    int8: bool = False  # quantized-serving block epilogues
+    int8: Any = False  # quantized-serving block epilogues (True | "static")
     multiscale: bool = False  # registered-but-dead reduce_dim convs
     mae_cfg: Optional[Any] = None  # SparK cfg; learnable=True -> mtoken
     dtype: jnp.dtype = jnp.float32

@@ -61,7 +61,7 @@ class OccMlpHead(nn.Module):
 
     input_dim: int
     num_classes: int
-    int8: bool = False  # quantized-serving GEMMs
+    int8: Any = False  # quantized-serving GEMMs (True | "static")
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +71,14 @@ class OccMlpHead(nn.Module):
         k2 = _Kernel((2 * C, C), name="conv2")()
         k3 = _Kernel((C, self.num_classes), name="conv3")()
         dt = self.dtype
-        if self.int8:
+        if self.int8 == "static":
+            from ..ops.quant import quant_dense_site
+
+            sites = iter(("mm1", "mm2", "mm3", "mm1", "mm2", "mm3"))
+            mm = lambda a, k: quant_dense_site(  # noqa: E731
+                self, next(sites), a, k
+            )
+        elif self.int8:
             from ..ops.quant import quant_dense
 
             mm = lambda a, k: quant_dense(a, k)  # noqa: E731

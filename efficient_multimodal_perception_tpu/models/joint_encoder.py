@@ -68,7 +68,7 @@ class JointEncoder(nn.Module):
     camera_mask_scale: Tuple[int, int] = (16, 16)
     image_hw: Tuple[int, int] = (256, 512)
     embed_dims: int = 192
-    int8: bool = False  # quantized-serving epilogues in both ConvNeXts
+    int8: Any = False  # quantized-serving epilogues (True | "static")
     dtype: Any = jnp.float32
     # Max batch rows per interact body; see ``interact`` docstring.
     interact_batch_chunk: int = 4

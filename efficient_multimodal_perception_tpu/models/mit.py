@@ -74,17 +74,21 @@ def _sp_constraint(x):
     return jax.lax.with_sharding_constraint(x, P(None, "model", None))
 
 
-def _dense(int8: bool, features: int, use_bias: bool, dtype, name: str):
+def _dense(int8, features: int, use_bias: bool, dtype, name: str):
     """``nn.Dense`` or its int8-GEMM drop-in (same param tree).
 
     The int8 path (``ops/quant.py``) is the opt-in quantized serving
-    mode — dynamic symmetric per-row/per-channel int8, hitting the v5e
-    MXU's 2x int8 rate on the neck's big matmuls.
+    mode — symmetric int8 hitting the v5e MXU's 2x int8 rate on the
+    neck's big matmuls.  ``int8=True`` = dynamic per-row activation
+    scales; ``int8="static"`` = calibrated per-tensor scales (the
+    ``"quant"`` variable collection carries the amaxes).
     """
     if int8:
         from ..ops.quant import Int8Dense
 
-        return Int8Dense(features, use_bias=use_bias, name=name)
+        return Int8Dense(
+            features, use_bias=use_bias, static=int8 == "static", name=name
+        )
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 

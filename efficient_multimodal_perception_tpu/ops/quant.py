@@ -35,7 +35,11 @@ _INT8_PARTS = ("encoder", "neck", "camera_encoder", "triplane_encoder",
                "decoder")
 
 
-def enable_int8(model_cfg: dict, parts: tuple[str, ...] | None = None) -> dict:
+def enable_int8(
+    model_cfg: dict,
+    parts: tuple[str, ...] | None = None,
+    mode: str = "dynamic",
+) -> dict:
     """Flip the int8 flag on every submodule config that supports it.
 
     Encoder (JointEncoder / MaskConvNeXt) and MixVisionTransformer necks
@@ -45,8 +49,13 @@ def enable_int8(model_cfg: dict, parts: tuple[str, ...] | None = None) -> dict:
     ``("neck", "decoder")``) — used to isolate which GEMMs actually win
     from int8 on a given chip.  Unknown part names raise (a silently
     ignored typo would run pure bf16 while labeled as an int8
-    measurement).  Mutates and returns ``model_cfg``.
+    measurement).  ``mode="static"`` selects calibrated static
+    activation scales (see :func:`static_quant_dense`) instead of the
+    per-call dynamic amax pass.  Mutates and returns ``model_cfg``.
     """
+    if mode not in ("dynamic", "static"):
+        raise ValueError(f"int8 mode must be dynamic|static, got {mode!r}")
+    flag = True if mode == "dynamic" else "static"
     if parts is not None:
         parts = tuple(p.strip() for p in parts)
         unknown = sorted(set(parts) - set(_INT8_PARTS))
@@ -56,11 +65,11 @@ def enable_int8(model_cfg: dict, parts: tuple[str, ...] | None = None) -> dict:
             )
     for part in ("encoder", "neck", "camera_encoder", "triplane_encoder"):
         if part in model_cfg and (parts is None or part in parts):
-            model_cfg[part]["int8"] = True
+            model_cfg[part]["int8"] = flag
     if model_cfg.get("decoder", {}).get("type") == "Mlp" and (
         parts is None or "decoder" in parts
     ):
-        model_cfg["decoder"]["int8"] = True
+        model_cfg["decoder"]["int8"] = flag
     return model_cfg
 
 
@@ -145,17 +154,76 @@ def quant_dense(x: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:
     return y
 
 
+def static_quant_matmul(x: jax.Array, w: jax.Array, amax: jax.Array):
+    """``x @ w`` with a CALIBRATED per-tensor activation scale.
+
+    The dynamic path's per-row ``max(|x|)`` reduction — a full extra
+    HBM read of the activation on the VPU, the measured reason dynamic
+    int8 LOSES to bf16 at the occ serving shapes (round-3 ledger) — is
+    replaced by one precomputed scalar; only the round/clip fuses into
+    the producer.  Weights stay per-channel (their quantization is
+    O(K*N), invisible at serving M).  Serving-only: no custom VJP.
+    """
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    wq, ws = _sym_quant(w, axis=0)
+    acc = lax.dot_general(
+        xq, wq,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * scale * ws).astype(x.dtype)
+
+
+def quant_dense_site(mod: nn.Module, name: str, x, kernel, bias=None):
+    """Calibratable quantized dense bound to a flax module.
+
+    Owns an f32 scalar ``amax`` in the ``"quant"`` variable collection
+    (BatchNorm-style running stats).  When the collection is mutable —
+    a CALIBRATION pass, ``model.apply(vars, batch, mutable=["quant"])``
+    (and ``init``, which makes every collection mutable) — the running
+    max of ``|x|`` is recorded and the per-row dynamic path computes the
+    output; when immutable (serving) the stored amax drives
+    :func:`static_quant_matmul`.  Calibration recipe::
+
+        vars = model.init(...)                       # quant amaxes = 0
+        for b in calib_batches:
+            _, mut = model.apply(vars, b, deterministic=True,
+                                 mutable=["quant"])
+            vars = {**vars, "quant": mut["quant"]}
+        model.apply(vars, batch, deterministic=True)  # static serving
+    """
+    amax_var = mod.variable(
+        "quant", name, lambda: jnp.zeros((), jnp.float32)
+    )
+    if mod.is_mutable_collection("quant"):
+        observed = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        amax_var.value = jnp.maximum(amax_var.value, observed)
+        return quant_dense(x, kernel, bias)
+    y = static_quant_matmul(x, kernel, amax_var.value)
+    if bias is not None:
+        y = (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+            x.dtype
+        )
+    return y
+
+
 class Int8Dense(nn.Module):
     """Drop-in ``nn.Dense`` with an int8 GEMM.
 
     Param names, shapes, and initializers are identical to ``nn.Dense``
     (``kernel``/``bias``), so checkpoints, the torch importer, and the
     freeze machinery are unaffected by toggling a module between the
-    bf16 and int8 paths.
+    bf16 and int8 paths.  ``static=True`` swaps the per-row dynamic
+    activation scale for the calibrated per-tensor one (see
+    :func:`quant_dense_site`).
     """
 
     features: int
     use_bias: bool = True
+    static: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -169,4 +237,6 @@ class Int8Dense(nn.Module):
             if self.use_bias
             else None
         )
+        if self.static:
+            return quant_dense_site(self, "amax_in", x, kernel, bias)
         return quant_dense(x, kernel, bias)
