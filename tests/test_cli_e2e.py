@@ -1,0 +1,64 @@
+"""Fixture-data end-to-end CLI rehearsal (VERDICT r4 #8).
+
+``tools/train.py`` → checkpoint → ``tools/test.py`` over a FILE-BACKED
+fixture dataset (fake-devkit infos pkl + images/lidar bins/range npz
+written by the converter helpers) — not ``synthetic_batch`` — so the
+disk → pipeline → ``Batch`` path is exercised through the real CLIs,
+exactly the reference's train→test loop (``/root/reference/tools/
+train.py`` + ``tools/test.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+# reuse the fake-devkit world + converter-artifact helpers
+from test_converter import fake_devkit, prepare_fixture_dataset  # noqa: F401
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(argv, cwd=REPO, timeout=900):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable] + argv,
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert r.returncode == 0, (
+        f"{argv} failed:\nSTDOUT:{r.stdout[-3000:]}\nSTDERR:{r.stderr[-3000:]}"
+    )
+    return r.stdout
+
+
+def test_cli_train_then_eval_on_fixture_files(fake_devkit):
+    root = fake_devkit
+    prepare_fixture_dataset(root)
+    work = os.path.join(root, "work")
+
+    out = _run([
+        "tools/train.py", "tiny_occ_run",
+        "--data-root", root,
+        "--work-dir", work,
+        "--max-steps", "2",
+        "--cfg-options", "log_interval=1", "checkpoint.interval=2",
+        "data.point_budget=512",
+    ])
+    assert "loss" in out
+    ckpt = os.path.join(work, "checkpoints", "step_2")
+    assert os.path.isdir(ckpt), out[-2000:]
+
+    out = _run([
+        "tools/test.py", "tiny_occ_run",
+        "--data-root", root,
+        "--checkpoint", ckpt,
+        "--num-samples", "1",
+        "--cfg-options", "data.point_budget=512",
+    ])
+    # the occ metric line (reference triplane_occ.py:468-500 protocol)
+    assert "mIoU" in out or "miou" in out, out[-2000:]

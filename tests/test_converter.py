@@ -220,19 +220,57 @@ def fake_devkit(tmp_path):
                 sys.modules[k] = v
 
 
-def test_converter_schema_and_loader_roundtrip(fake_devkit):
-    root = fake_devkit
+def prepare_fixture_dataset(root, max_sweeps: int = 2):
+    """Run the REAL converter over the fake-devkit world and materialize
+    every derived artifact the infos point at (range npz, occupancy npy,
+    elevation npz) + the occ-filename pkl patch — a complete file-backed
+    dataset the production loader AND the CLIs can consume.  Requires
+    the ``fake_devkit`` fixture to be active (devkit modules injected).
+    """
     from efficient_multimodal_perception_tpu.data.nuscenes_converter import (
         create_nuscenes_infos,
-        weather_flags,
     )
     from efficient_multimodal_perception_tpu.data.prep import (
         add_occ_filenames,
     )
 
     train_infos, val_infos = create_nuscenes_infos(
-        root, version="v1.0-trainval", max_sweeps=2
+        root, version="v1.0-trainval", max_sweeps=max_sweeps
     )
+    rng = np.random.default_rng(1)
+    os.makedirs(os.path.join(root, "samples/RANGE_FULL"), exist_ok=True)
+    os.makedirs(os.path.join(root, "occupancy"), exist_ok=True)
+    os.makedirs(os.path.join(root, "elevation"), exist_ok=True)
+    for inf in train_infos + val_infos:
+        np.savez(
+            os.path.join(root, inf["range_filename"]),
+            range_image=rng.uniform(0, 50, (32, 1024)),
+            range_points=rng.uniform(-30, 30, (32, 1024, 3)),
+        )
+        np.savez(
+            os.path.join(root, inf["elev_filename"]),
+            elevation=rng.standard_normal((100, 100)),
+            mask=(rng.random((100, 100)) > 0.5).astype(np.float64),
+        )
+        occ = np.stack(
+            [rng.integers(0, 200, 300), rng.integers(0, 200, 300),
+             rng.integers(0, 16, 300), rng.integers(0, 17, 300)], axis=1,
+        ).astype(np.int64)
+        base = os.path.split(inf["lidar_path"])[-1]
+        np.save(os.path.join(root, f"occupancy/{base}.npy"), occ)
+    # occupancy/modify_info.py equivalent patches the pkls in place
+    add_occ_filenames(os.path.join(root, "nuscenes_infos_train.pkl"))
+    add_occ_filenames(os.path.join(root, "nuscenes_infos_val.pkl"))
+    return train_infos, val_infos
+
+
+def test_converter_schema_and_loader_roundtrip(fake_devkit):
+    root = fake_devkit
+    from efficient_multimodal_perception_tpu.data.nuscenes_converter import (
+        weather_flags,
+    )
+
+    train_infos, val_infos = prepare_fixture_dataset(root)
     assert len(train_infos) == 1 and len(val_infos) == 1
     info = train_infos[0]
 
@@ -266,31 +304,6 @@ def test_converter_schema_and_loader_roundtrip(fake_devkit):
         quaternion_matrix(cam0["sensor2ego_rotation"]).astype(np.float64),
         atol=1e-6,
     )
-
-    # --- produce the derived artifacts the infos point at ---
-    rng = np.random.default_rng(1)
-    os.makedirs(os.path.join(root, "samples/RANGE_FULL"), exist_ok=True)
-    os.makedirs(os.path.join(root, "occupancy"), exist_ok=True)
-    os.makedirs(os.path.join(root, "elevation"), exist_ok=True)
-    for inf in train_infos + val_infos:
-        np.savez(
-            os.path.join(root, inf["range_filename"]),
-            range_image=rng.uniform(0, 50, (32, 1024)),
-            range_points=rng.uniform(-30, 30, (32, 1024, 3)),
-        )
-        np.savez(
-            os.path.join(root, inf["elev_filename"]),
-            elevation=rng.standard_normal((100, 100)),
-            mask=(rng.random((100, 100)) > 0.5).astype(np.float64),
-        )
-        occ = np.stack(
-            [rng.integers(0, 200, 300), rng.integers(0, 200, 300),
-             rng.integers(0, 16, 300), rng.integers(0, 17, 300)], axis=1,
-        ).astype(np.int64)
-        base = os.path.split(inf["lidar_path"])[-1]
-        np.save(os.path.join(root, f"occupancy/{base}.npy"), occ)
-    # occupancy/modify_info.py equivalent patches the pkl in place
-    add_occ_filenames(os.path.join(root, "nuscenes_infos_train.pkl"))
 
     # --- the REAL loader consumes the converter's pkl ---
     cfg = dict(
