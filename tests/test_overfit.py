@@ -8,11 +8,14 @@ overfitting one fixed synthetic batch for ~100 CPU steps.
 
 Occ labels: ``synthetic_batch``'s occupancy is uniform-random (seeded
 noise) — memorizing 157k random voxels through a 0.4 m triplane is not
-information-theoretically reachable in 100 tiny-model steps, so the occ
-test swaps in a *structured* position-dependent labeling (class =
-spatial octant, 30% ignore) that a position-aware readout must learn
-fast.  MAE losses are defined against the synthetic images/points
-themselves, so they descend as-is.
+information-theoretically reachable in 100 tiny-model steps (measured:
+dense structured labels plateau at CE ~1.45 / acc 36%), so the occ test
+uses a *sparse structured* labeling: class = f(x-half, y-half, z-band)
+on ~3k random voxels, everything else ignore(255).  With a constant lr
+the tiny model drives that to CE 0.004 / acc 1.0 in 150 steps — the occ
+tests stop at 75/60 steps for runtime, still far past the 5x bar.  MAE
+losses are defined against the synthetic images/points themselves, so
+they descend as-is.
 """
 
 from __future__ import annotations
@@ -23,9 +26,10 @@ import jax
 import numpy as np
 
 
-def _structured_occ(B: int) -> np.ndarray:
-    """Position-dependent labels: class = f(x-half, y-half, z-band),
-    with 30% ignore (255) so the CE ignore path stays exercised."""
+def _structured_occ(B: int, n_keep: int = 3000) -> np.ndarray:
+    """Position-dependent labels (class = f(x-half, y-half, z-band)) on
+    ``n_keep`` random voxels; the rest ignore (255), exercising the CE
+    ignore path."""
     rng = np.random.default_rng(3)
     x = (np.arange(200) >= 100).astype(np.int32)
     y = (np.arange(200) >= 100).astype(np.int32)
@@ -34,17 +38,22 @@ def _structured_occ(B: int) -> np.ndarray:
         x[:, None, None] * 2 + y[None, :, None] + z[None, None, :]
     ) % 5
     lab = np.broadcast_to(lab, (B, 200, 200, 16)).copy()
-    ignore = rng.random((B, 200, 200, 16)) < 0.3
-    return np.where(ignore, 255, lab).astype(np.int32)
+    keep = np.zeros((B, 200 * 200 * 16), bool)
+    for b in range(B):
+        keep[b, rng.choice(200 * 200 * 16, n_keep, replace=False)] = True
+    keep = keep.reshape(B, 200, 200, 16)
+    return np.where(keep, lab, 255).astype(np.int32)
 
 
 def _train_cfg(lr=1e-3, warmup=5):
+    # constant lr after warmup (min_lr_ratio=1): the production cosine
+    # anneal over so few steps would freeze learning mid-test
     return {
         "optimizer": dict(type="AdamW", lr=lr, betas=(0.9, 0.99),
                           weight_decay=1e-4),
         "grad_clip": 35.0,
         "lr_config": dict(warmup_iters=warmup, warmup_ratio=0.1,
-                          min_lr_ratio=0.1),
+                          min_lr_ratio=1.0),
     }
 
 
@@ -105,10 +114,12 @@ def test_occ_overfit_converges():
     )
 
     init_params, state, history = _fit(
-        model, batch, steps=100, rng_names=("droppath",), lr=2e-3
+        model, batch, steps=75, rng_names=("droppath",), lr=1e-2
     )
     loss0, acc0 = _occ_eval(model, {"params": init_params}, batch)
     loss1, acc1 = _occ_eval(model, {"params": state.params}, batch)
+    # measured trajectory (debug run): 1.73 -> 0.13 by step 75 -> 0.004
+    # by 150 with acc 1.0; the 5x bar has ~2.7x headroom here
     assert loss1 < loss0 / 5, (loss0, loss1, history[::10])
     assert acc0 < 0.45  # untrained: near the 5-class chance floor
     assert acc1 > 0.85, (acc0, acc1)
@@ -132,7 +143,7 @@ def test_occ_frozen_variant_descends_on_head_only():
     freeze = ("encoder", "neck")
     init_params, state, history = _fit(
         model, batch, steps=60, rng_names=("droppath",),
-        freeze=freeze, lr=2e-3,
+        freeze=freeze, lr=1e-2,
     )
     loss0, _ = _occ_eval(model, {"params": init_params}, batch)
     loss1, _ = _occ_eval(model, {"params": state.params}, batch)
