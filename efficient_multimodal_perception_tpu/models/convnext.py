@@ -357,9 +357,19 @@ class MaskConvNeXt(nn.Module):
             and self.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
         )
+        from ..parallel.fsdp import batch_constraint
+
         outs = []
+        # ZeRO/FSDP activation pin: the fsdp-sharded conv kernels would
+        # otherwise pull channel shardings into the activations and
+        # GSPMD "involuntarily fully rematerializes" at every stage
+        # boundary (replicate-then-repartition); pinning batch-only
+        # shardings here makes it all-gather the KERNELS instead — the
+        # actual ZeRO-3 semantics.  No-op outside an fsdp/tp mesh.
+        x = batch_constraint(x)
         for i in range(start, end):
             x = self.downsample_layers[i](x)
+            x = batch_constraint(x)
             if active_mask is not None:
                 m = upsample_mask(active_mask, x.shape[1:3]).astype(x.dtype)
                 x = x * m
@@ -376,9 +386,9 @@ class MaskConvNeXt(nn.Module):
                     and self.dtype == jnp.bfloat16
                     and jax.default_backend() == "tpu"
                 )
-                x = blk(
+                x = batch_constraint(blk(
                     x, mask=m, deterministic=deterministic, fused=blk_fused
-                )
+                ))
             if collect:
                 outs.append(x)
         return (x, outs) if collect else x

@@ -81,10 +81,20 @@ def test_leaf_spec_tp_rules():
     s = fsdp.leaf_spec("neck/block0/mlp/fc2/kernel", (128, 64), mesh,
                        min_size=1)
     assert s[0] == "model" and s[1] == "fsdp"
-    # non-TP leaf: fsdp on the largest divisible axis only
+    # spatial conv kernels stay REPLICATED under fsdp: a feature-sharded
+    # conv kernel against batch-sharded activations makes GSPMD emit an
+    # "involuntary full rematerialization" per use, and the old sharded
+    # program was numerically wrong (VERDICT r3 Weak #3 fix)
     s = fsdp.leaf_spec("encoder/stage0_0/dwconv/kernel", (7, 7, 1, 96),
                        mesh, min_size=1)
-    assert s == jax.sharding.PartitionSpec(None, None, None, "fsdp")
+    assert s == jax.sharding.PartitionSpec(None, None, None, None)
+    # neck dwconv: no TP rule either (SP×TP miscompile, see _TP_RULES)
+    s = fsdp.leaf_spec("neck/block0/mlp/dwconv/kernel", (3, 3, 1, 128),
+                       mesh, min_size=1)
+    assert s == jax.sharding.PartitionSpec(None, None, None, None)
+    # non-TP 2-D leaf: fsdp on the largest divisible axis
+    s = fsdp.leaf_spec("decoder/fc/kernel", (128, 64), mesh, min_size=1)
+    assert s == jax.sharding.PartitionSpec("fsdp", None)
     # small leaves stay replicated under the real min_size
     s = fsdp.leaf_spec("head/fc0/bias", (96,), mesh)
     assert s == jax.sharding.PartitionSpec(None)
