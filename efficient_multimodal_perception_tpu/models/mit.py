@@ -74,6 +74,30 @@ def _sp_constraint(x):
     return jax.lax.with_sharding_constraint(x, P(None, "model", None))
 
 
+def _use_fused_prologue(x, int8) -> bool:
+    """Dispatch the fused LN->GEMM / GELU->GEMM Pallas prologues
+    (``ops/pallas_kernels.ln_dense_fused`` / ``gelu_dense_fused``).
+
+    XLA cannot fuse the LayerNorm row reduction into the following dot,
+    so each of the neck block's LNs costs an extra HBM round trip of the
+    (B*4096, 1024) token stream and the MixFFN GELU one of the
+    (B*4096, 2048) hidden stream.  Structural requirements: bf16 on TPU,
+    no tensor parallelism (a Pallas call has no GSPMD rule), row count
+    tileable, 128-lane channel dims.
+    """
+    from ..parallel.fsdp import ambient_model_axis
+
+    B, N, C = x.shape
+    return (
+        not int8
+        and x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and ambient_model_axis() == 1
+        and (B * N) % 1024 == 0
+        and C % 128 == 0
+    )
+
+
 def _dense(int8, features: int, use_bias: bool, dtype, name: str):
     """``nn.Dense`` or its int8-GEMM drop-in (same param tree).
 
@@ -123,12 +147,49 @@ class EfficientAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, hw: Tuple[int, int]):
+    def __call__(self, x, hw: Tuple[int, int], ln=None):
         B, N, C = x.shape
         H, W = hw
         h = self.num_heads
         hd = C // h
         scale = hd**-0.5
+
+        if ln is not None:
+            # fused LN -> q,kv prologue (sr==1 only: with spatial
+            # reduction the normalized tokens feed the sr conv too, so
+            # the LN output must materialize anyway).  One kernel pass
+            # over the concatenated q|kv weights; the LN'd tokens never
+            # touch HBM.
+            assert self.sr_ratio == 1
+            from ..ops.pallas_kernels import ln_dense_fused
+
+            wq = self.get_variable("params", "q")["kernel"]
+            wkv = self.get_variable("params", "kv")["kernel"]
+            w = jnp.concatenate([wq, wkv], axis=1)
+            bias = None
+            if self.qkv_bias:
+                bias = jnp.concatenate(
+                    [self.get_variable("params", "q")["bias"],
+                     self.get_variable("params", "kv")["bias"]], axis=0
+                )
+            qkv = ln_dense_fused(
+                x.reshape(B * N, C), ln[0], ln[1], w, bias
+            ).reshape(B, N, 3 * C)
+            q, kv = qkv[..., :C], qkv[..., C:]
+            k, v = jnp.split(kv, 2, axis=-1)
+            q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
+            if _use_fused_attn(x.dtype, N, k.shape[2]):
+                out = _fused_attn(q, k, v, scale)
+            else:
+                attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+                attn = jax.nn.softmax(
+                    attn.astype(jnp.float32), axis=-1
+                ).astype(x.dtype)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            return _dense(self.int8, C, True, self.dtype, "proj")(out)
 
         q = _dense(self.int8, C, self.qkv_bias, self.dtype, "q")(x)
         if self.sr_ratio > 1:
@@ -176,10 +237,20 @@ class MixFFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, hw: Tuple[int, int]):
+    def __call__(self, x, hw: Tuple[int, int], ln=None):
         B, N, C = x.shape
         H, W = hw
-        x = _dense(self.int8, self.hidden_dim, True, self.dtype, "fc1")(x)
+        if ln is not None:
+            # fused LN -> fc1 (the LN'd tokens never touch HBM)
+            from ..ops.pallas_kernels import ln_dense_fused
+
+            p = self.get_variable("params", "fc1")
+            x = ln_dense_fused(
+                x.reshape(B * N, C), ln[0], ln[1], p["kernel"], p["bias"]
+            ).reshape(B, N, self.hidden_dim)
+        else:
+            x = _dense(self.int8, self.hidden_dim, True, self.dtype,
+                       "fc1")(x)
         x = x.reshape(B, H, W, self.hidden_dim)
         x = nn.Conv(
             self.hidden_dim,
@@ -190,6 +261,14 @@ class MixFFN(nn.Module):
             name="dwconv",
         )(x)
         x = x.reshape(B, N, self.hidden_dim)
+        if ln is not None:
+            # fused GELU -> fc2 (saves the (B*N, hidden) round trip)
+            from ..ops.pallas_kernels import gelu_dense_fused
+
+            p = self.get_variable("params", "fc2")
+            return gelu_dense_fused(
+                x.reshape(B * N, self.hidden_dim), p["kernel"], p["bias"]
+            ).reshape(B, N, self.dim)
         x = nn.gelu(x, approximate=False)
         return _dense(self.int8, self.dim, True, self.dtype, "fc2")(x)
 
@@ -203,27 +282,49 @@ class MiTBlock(nn.Module):
     sr_ratio: int = 1
     sp: bool = False  # sequence-parallel residual stream (Megatron SP)
     int8: bool = False
+    # fused LN->GEMM / GELU->GEMM prologues: None = auto-dispatch
+    # (TPU + bf16 + no TP), False = never, True = force (tests; falls
+    # back to interpret mode off-TPU)
+    fuse_prologue: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, hw: Tuple[int, int]):
         sp = _sp_constraint if self.sp else (lambda y: y)
-        x = sp(x)
-        x = sp(x + EfficientAttention(
+        fuse = (
+            _use_fused_prologue(x, self.int8)
+            if self.fuse_prologue is None
+            else self.fuse_prologue
+        )
+        # init must run the unfused path: it is what declares the
+        # LayerNorm/Dense params the fused path reads via get_variable
+        fuse = fuse and not self.is_initializing() and self.sr_ratio == 1
+        attn = EfficientAttention(
             self.dim,
             num_heads=self.num_heads,
             sr_ratio=self.sr_ratio,
             int8=self.int8,
             dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), hw))
-        x = sp(x + MixFFN(
+        )
+        mlp = MixFFN(
             self.dim,
             int(self.dim * self.mlp_ratio),
             int8=self.int8,
             dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), hw))
+        )
+        x = sp(x)
+        if fuse:
+            n1 = self.get_variable("params", "norm1")
+            x = sp(x + attn(x, hw, ln=(n1["scale"], n1["bias"])))
+            n2 = self.get_variable("params", "norm2")
+            x = sp(x + mlp(x, hw, ln=(n2["scale"], n2["bias"])))
+            return x
+        x = sp(x + attn(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x), hw))
+        x = sp(x + mlp(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), hw))
         return x
 
 
@@ -277,10 +378,17 @@ class MixVisionTransformer(nn.Module):
     high: bool = False  # MixVisionTransformerHigh variant (mit.py:381-479)
     sp: bool = False  # sequence-parallel blocks (set by --sp under TP)
     int8: bool = False  # quantized-serving GEMMs in the blocks
+    fuse_prologue: bool | None = None  # see MiTBlock.fuse_prologue
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from ..parallel.fsdp import batch_constraint
+
+        # encoder→neck boundary pin: stops the blocks' TP shardings from
+        # propagating back into the encoder (GSPMD involuntary-full-
+        # rematerialization fix, parallel/fsdp.batch_constraint)
+        x = batch_constraint(x)
         B = x.shape[0]
         x, (H, W) = OverlapPatchEmbed(
             (self.patch_size, self.patch_size),
@@ -299,6 +407,7 @@ class MixVisionTransformer(nn.Module):
                 sr_ratio=1,
                 sp=self.sp,
                 int8=self.int8,
+                fuse_prologue=self.fuse_prologue,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, (H, W))

@@ -1698,3 +1698,181 @@ def _block_int8_impl(
         interpret=interpret,
     )(*operands)
     return out.reshape(N, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# fused prologue + GEMM: LN->dense and GELU->dense (MiT neck)
+# ---------------------------------------------------------------------------
+# The neck block's LayerNorms and the MixFFN's GELU each sit between two
+# GEMMs (reference ``mit.py:159-221``): XLA cannot fuse a row reduction
+# (LN mean/var) into a dot, so every LN costs one extra HBM round trip
+# of the (B*4096, 1024) token stream, and the GELU one of the
+# (B*4096, 2048) hidden stream.  These kernels run the elementwise /
+# normalization prologue on the row tile already resident in VMEM and
+# feed the MXU directly; the prologue output never touches HBM.
+#
+# Used by ``models/mit.py`` at the three sr_ratio=1 sites:
+#   norm1 -> q,kv   (one kernel pass over the concatenated weights)
+#   norm2 -> fc1
+#   gelu  -> fc2
+# Differentiable via XLA-math replay (same recipe as the ConvNeXt
+# fused block): frozen necks (occ/elev fine-tune) never reach the
+# backward; the MAE pretrain pays one cheap recompute.
+
+
+def _prologue_rows(M: int, K: int, N: int, budget: int = 12_000_000) -> int:
+    """Largest power-of-two row tile R dividing M whose working set
+    (double-buffered x/out blocks, f32 prologue copy, f32 accumulator,
+    resident (K, N) bf16 weight) fits the scoped-VMEM budget."""
+    r = 1
+    while M % (r * 2) == 0 and r * 2 <= 1024:
+        need = (
+            2 * (2 * r * 2 * K)   # x blocks (bf16, double-buffered)
+            + 4 * r * 2 * K       # f32 prologue copy
+            + 2 * K * N           # resident weight (bf16)
+            + 4 * r * 2 * N       # f32 matmul accumulator
+            + 2 * (2 * r * 2 * N)  # out blocks (bf16, double-buffered)
+        )
+        if need > budget:
+            break
+        r *= 2
+    return r
+
+
+def _ln_dense_kernel(x_ref, s_ref, b_ref, w_ref, bias_ref, out_ref, *,
+                     eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * s_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    o = jnp.dot(z.astype(w_ref.dtype), w_ref[:],
+                preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        o = o + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = o.astype(out_ref.dtype)
+
+
+def _gelu_dense_kernel(x_ref, w_ref, bias_ref, out_ref):
+    z = _gelu_erf(x_ref[:].astype(jnp.float32))
+    o = jnp.dot(z.astype(w_ref.dtype), w_ref[:],
+                preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        o = o + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = o.astype(out_ref.dtype)
+
+
+def _prologue_dense_impl(x, params, w, bias, *, mode: str, eps: float,
+                         interpret: bool):
+    M, K = x.shape
+    N = w.shape[1]
+    dt = x.dtype
+    R = _prologue_rows(M, K, N)
+
+    operands = [x]
+    if mode == "ln":
+        s, b = params
+        operands += [s.astype(jnp.float32), b.astype(jnp.float32)]
+    operands.append(w.astype(dt))
+    has_bias = bias is not None
+    if has_bias:
+        operands.append(bias.astype(jnp.float32))
+
+    if mode == "ln":
+        if has_bias:
+            kernel = functools.partial(_ln_dense_kernel, eps=eps)
+        else:
+            def kernel(x_ref, s_ref, b_ref, w_ref, out_ref):
+                return _ln_dense_kernel(x_ref, s_ref, b_ref, w_ref, None,
+                                        out_ref, eps=eps)
+    else:
+        if has_bias:
+            kernel = _gelu_dense_kernel
+        else:
+            def kernel(x_ref, w_ref, out_ref):
+                return _gelu_dense_kernel(x_ref, w_ref, None, out_ref)
+
+    specs = [
+        pl.BlockSpec((R, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(arg.shape, lambda i, nd=arg.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for arg in operands[1:]
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(M // R,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((R, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), dt),
+        interpret=interpret,
+    )(*operands)
+
+
+def _xla_ln_dense(x, s, b, w, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    z = ((xf - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(x.dtype)
+    o = z @ w.astype(x.dtype)
+    return o + bias.astype(x.dtype) if bias is not None else o
+
+
+def _xla_gelu_dense(x, w, bias):
+    import flax.linen as nn
+
+    z = nn.gelu(x, approximate=False)
+    o = z @ w.astype(x.dtype)
+    return o + bias.astype(x.dtype) if bias is not None else o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def ln_dense_fused(x, s, b, w, bias, eps=1e-6):
+    """``LN(x; s, b) @ w + bias`` in one Pallas pass.
+
+    Args:
+        x: ``(M, K)`` tokens (bf16 on the hot path).
+        s, b: LayerNorm scale/bias ``(K,)``.
+        w: ``(K, N)``.
+        bias: ``(N,)`` or None.
+    """
+    return _prologue_dense_impl(
+        x, (s, b), w, bias, mode="ln", eps=eps,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _ln_dense_fwd(x, s, b, w, bias, eps):
+    return ln_dense_fused(x, s, b, w, bias, eps), (x, s, b, w, bias)
+
+
+def _ln_dense_bwd(eps, res, g):
+    x, s, b, w, bias = res
+    _, vjp = jax.vjp(lambda *a: _xla_ln_dense(*a, eps), x, s, b, w, bias)
+    return vjp(g)
+
+
+ln_dense_fused.defvjp(_ln_dense_fwd, _ln_dense_bwd)
+
+
+@jax.custom_vjp
+def gelu_dense_fused(x, w, bias):
+    """``gelu(x) @ w + bias`` in one Pallas pass (exact-erf GELU via the
+    A&S approximation, abs err ~1.5e-7 — see ``_gelu_erf``)."""
+    return _prologue_dense_impl(
+        x, (), w, bias, mode="gelu", eps=0.0,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _gelu_dense_fwd(x, w, bias):
+    return gelu_dense_fused(x, w, bias), (x, w, bias)
+
+
+def _gelu_dense_bwd(res, g):
+    _, vjp = jax.vjp(_xla_gelu_dense, *res)
+    return vjp(g)
+
+
+gelu_dense_fused.defvjp(_gelu_dense_fwd, _gelu_dense_bwd)

@@ -382,3 +382,107 @@ def test_cam_gather_sum_matches_xla():
     g_k = np.asarray(jax.grad(loss_k)(feats))
     g_x = np.asarray(jax.grad(loss_x)(feats))
     np.testing.assert_allclose(g_k, g_x, atol=1e-5)
+
+
+def test_ln_dense_fused_interpret():
+    """ln_dense_fused == LN + matmul (fwd, interpret mode) and its VJP
+    == the XLA math's VJP (the bwd is an XLA replay by construction)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _xla_ln_dense,
+        ln_dense_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    M, K, N = 64, 128, 256
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(K,)) * 0.2 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(K,)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) / np.sqrt(K), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(N,)) * 0.1, jnp.float32)
+
+    out = ln_dense_fused(x, s, b, w, bias)
+    ref = _xla_ln_dense(x, s, b, w, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # no-bias variant
+    out_nb = ln_dense_fused(x, s, b, w, None)
+    ref_nb = _xla_ln_dense(x, s, b, w, None, 1e-6)
+    np.testing.assert_allclose(np.asarray(out_nb), np.asarray(ref_nb),
+                               atol=1e-5, rtol=1e-5)
+
+    g_f = jax.grad(lambda *a: ln_dense_fused(*a).sum(), argnums=(0, 1, 2, 3, 4))(
+        x, s, b, w, bias)
+    g_r = jax.grad(lambda *a: _xla_ln_dense(*a, 1e-6).sum(),
+                   argnums=(0, 1, 2, 3, 4))(x, s, b, w, bias)
+    for a, r in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_gelu_dense_fused_interpret():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _xla_gelu_dense,
+        gelu_dense_fused,
+    )
+
+    rng = np.random.default_rng(1)
+    M, K, N = 64, 256, 128
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) / np.sqrt(K), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(N,)) * 0.1, jnp.float32)
+
+    out = gelu_dense_fused(x, w, bias)
+    ref = _xla_gelu_dense(x, w, bias)
+    # fwd uses the A&S erf approximation (abs err ~1.5e-7 on erf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    g_f = jax.grad(lambda *a: gelu_dense_fused(*a).sum(),
+                   argnums=(0, 1, 2))(x, w, bias)
+    g_r = jax.grad(lambda *a: _xla_gelu_dense(*a).sum(),
+                   argnums=(0, 1, 2))(x, w, bias)
+    for a, r in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_mit_block_fused_prologue_matches_unfused():
+    """MiTBlock with fuse_prologue=True (interpret off-TPU) == the stock
+    path, fwd + grads — the module-level wiring of ln/gelu_dense_fused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.models.mit import MiTBlock
+
+    kw = dict(dim=128, num_heads=4, mlp_ratio=2, sr_ratio=1)
+    m0 = MiTBlock(fuse_prologue=False, **kw)
+    m1 = MiTBlock(fuse_prologue=True, **kw)
+    x = jax.random.normal(jax.random.key(0), (2, 64, 128), jnp.float32)
+    params = m0.init(jax.random.key(1), x, (8, 8))
+
+    y0 = jax.jit(lambda p, xx: m0.apply(p, xx, (8, 8)))(params, x)
+    y1 = jax.jit(lambda p, xx: m1.apply(p, xx, (8, 8)))(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=3e-5, rtol=3e-5)
+
+    g0 = jax.grad(lambda p: m0.apply(p, x, (8, 8)).sum())(params)
+    g1 = jax.grad(lambda p: m1.apply(p, x, (8, 8)).sum())(params)
+    flat0 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(g0)}
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(g1)}
+    assert set(flat0) == set(flat1)
+    for k in flat0:
+        np.testing.assert_allclose(np.asarray(flat0[k]),
+                                   np.asarray(flat1[k]),
+                                   atol=3e-5, rtol=3e-5, err_msg=k)
