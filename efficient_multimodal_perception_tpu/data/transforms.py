@@ -51,6 +51,21 @@ def global_rot_scale_trans(
     return sample
 
 
+def _flip_bev(sample: dict, axis: int) -> None:
+    """In-place BEV flip: axis=1 (y) = horizontal, axis=0 (x) = vertical."""
+    if "points" in sample:
+        pts = sample["points"].copy()
+        pts[:, axis] = -pts[:, axis]
+        sample["points"] = pts
+    if sample.get("gt_bboxes_3d") is not None:
+        b = sample["gt_bboxes_3d"].copy()
+        b[:, axis] = -b[:, axis]
+        b[:, 6] = (-b[:, 6] if axis == 1 else np.pi - b[:, 6])
+        if b.shape[1] > 7:
+            b[:, 7 + axis] = -b[:, 7 + axis]
+        sample["gt_bboxes_3d"] = b
+
+
 def random_flip_3d(
     sample: dict,
     rng: np.random.Generator,
@@ -61,23 +76,10 @@ def random_flip_3d(
     flip_h = rng.random() < flip_ratio_bev_horizontal
     flip_v = rng.random() < flip_ratio_bev_vertical
 
-    def flip(axis):
-        if "points" in sample:
-            pts = sample["points"].copy()
-            pts[:, axis] = -pts[:, axis]
-            sample["points"] = pts
-        if sample.get("gt_bboxes_3d") is not None:
-            b = sample["gt_bboxes_3d"].copy()
-            b[:, axis] = -b[:, axis]
-            b[:, 6] = (-b[:, 6] if axis == 1 else np.pi - b[:, 6])
-            if b.shape[1] > 7:
-                b[:, 7 + axis] = -b[:, 7 + axis]
-            sample["gt_bboxes_3d"] = b
-
     if flip_h:
-        flip(1)
+        _flip_bev(sample, 1)
     if flip_v:
-        flip(0)
+        _flip_bev(sample, 0)
     sample["pcd_horizontal_flip"] = flip_h
     sample["pcd_vertical_flip"] = flip_v
     return sample
@@ -164,3 +166,96 @@ def points_to_image_depth(
     )
     out = np.concatenate([uv[keep], depth[keep, None]], axis=1)
     return out.astype(np.float32)
+
+
+def multi_scale_flip_aug_3d(
+    sample: dict,
+    transforms=(),
+    img_scale=None,
+    pts_scale_ratio=1.0,
+    flip: bool = False,
+    flip_direction="horizontal",
+    pcd_horizontal_flip: bool = False,
+    pcd_vertical_flip: bool = False,
+) -> dict:
+    """Test-time augmentation: enumerate scale/flip variants and collate.
+
+    Equivalent of ``MultiScaleFlipAug3D``
+    (``pipelines/test_time_aug.py:10-115``) — unused by every shipped
+    reference config but part of the pipeline registry surface.  The
+    reference records aug *hints* (``scale``, ``pcd_horizontal_flip``,
+    ...) for downstream hint-consuming transforms; this functional
+    pipeline has no hidden hint channel, so the point-cloud geometry
+    (BEV flips, ``pts_scale_ratio``) is applied directly here with the
+    same math as the random train-time transforms, then the caller's
+    ``transforms`` run per variant.  Enumeration order and the
+    double-flip reduction quirk (``flip_aug = [True] if flip else
+    [False]``, test_time_aug.py:80-82) match the reference exactly, so a
+    K-variant reference pipeline and this one produce the same K
+    variants in the same order.
+
+    Args:
+        sample: one un-augmented sample dict (numpy arrays).
+        transforms: per-variant callables ``f(sample) -> sample``
+            (e.g. ``functools.partial(points_range_filter, ...)``).
+        img_scale: tuple or list of tuples — stored as ``scale`` for
+            image-resizing transforms downstream (the triplane families
+            never resize at test time).
+        pts_scale_ratio: float or list of floats.
+        flip / flip_direction / pcd_horizontal_flip / pcd_vertical_flip:
+            as in the reference.
+
+    Returns:
+        dict-of-lists: each key holds one entry per augmentation
+        variant (the reference's list-of-dict -> dict-of-list collate).
+    """
+    import copy
+
+    img_scales = img_scale if isinstance(img_scale, list) else [img_scale]
+    pts_ratios = (
+        pts_scale_ratio
+        if isinstance(pts_scale_ratio, list)
+        else [float(pts_scale_ratio)]
+    )
+    directions = (
+        flip_direction
+        if isinstance(flip_direction, list)
+        else [flip_direction]
+    )
+    flip_aug = [True] if flip else [False]
+    h_aug = [False, True] if flip and pcd_horizontal_flip else [False]
+    v_aug = [False, True] if flip and pcd_vertical_flip else [False]
+
+    variants = []
+    for scale in img_scales:
+        for ratio in pts_ratios:
+            for f in flip_aug:
+                for h in h_aug:
+                    for v in v_aug:
+                        for direction in directions:
+                            s = copy.deepcopy(sample)
+                            s["scale"] = scale
+                            s["flip"] = f
+                            s["flip_direction"] = direction
+                            s["pcd_scale_factor"] = ratio
+                            s["pcd_horizontal_flip"] = h
+                            s["pcd_vertical_flip"] = v
+                            if ratio != 1.0 and "points" in s:
+                                pts = s["points"].copy()
+                                pts[:, :3] *= ratio
+                                s["points"] = pts
+                                if s.get("gt_bboxes_3d") is not None:
+                                    b = s["gt_bboxes_3d"].copy()
+                                    b[:, :6] *= ratio
+                                    if b.shape[1] > 7:
+                                        b[:, 7:9] *= ratio
+                                    s["gt_bboxes_3d"] = b
+                            if h:
+                                _flip_bev(s, 1)
+                            if v:
+                                _flip_bev(s, 0)
+                            for t in transforms:
+                                s = t(s)
+                            variants.append(s)
+
+    return {k: [var[k] for var in variants] for k in variants[0]}

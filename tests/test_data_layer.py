@@ -232,3 +232,54 @@ def test_points_to_image_depth_pinhole():
     out = points_to_image_depth(pts, l2i, l2c, (480, 640), min_dist=1.0)
     assert out.shape == (1, 3)
     np.testing.assert_allclose(out[0], [310.0, 220.0, 10.0], atol=1e-4)
+
+
+def test_multi_scale_flip_aug_3d_variants():
+    """TTA enumeration matches the reference grid + double-flip quirk
+    (test_time_aug.py:80-107): K = scales * ratios * h_aug * v_aug *
+    directions, pcd flips applied geometrically, collate dict-of-lists.
+    """
+    from efficient_multimodal_perception_tpu.data.transforms import (
+        multi_scale_flip_aug_3d,
+    )
+
+    pts = np.array([[1.0, 2.0, 3.0], [-4.0, 5.0, -6.0]], np.float32)
+    sample = dict(points=pts.copy(), gt_bboxes_3d=None)
+
+    out = multi_scale_flip_aug_3d(
+        sample,
+        img_scale=(800, 448),
+        pts_scale_ratio=[0.95, 1.0, 1.05],
+        flip=True,
+        pcd_horizontal_flip=True,
+        pcd_vertical_flip=True,
+    )
+    # 1 scale * 3 ratios * 1 flip_aug([True]) * 2 h * 2 v * 1 direction
+    assert len(out["points"]) == 12
+    assert out["scale"] == [(800, 448)] * 12
+    # reference loop order: ratio outermost of the varying axes, then
+    # h, then v — variant 0 is (0.95, h=False, v=False)
+    np.testing.assert_allclose(out["points"][0], pts * 0.95, atol=1e-6)
+    assert out["pcd_horizontal_flip"][:4] == [False, False, True, True]
+    assert out["pcd_vertical_flip"][:4] == [False, True, False, True]
+    # h flips y, v flips x; variant 3 = both at ratio 0.95
+    np.testing.assert_allclose(
+        out["points"][3], pts * 0.95 * np.array([-1, -1, 1]), atol=1e-6
+    )
+    # ratio 1.0 block starts at variant 4 and is untouched geometry
+    np.testing.assert_allclose(out["points"][4], pts)
+    assert out["pcd_scale_factor"][4] == 1.0
+
+    # per-variant downstream transforms run AFTER the TTA geometry
+    out2 = multi_scale_flip_aug_3d(
+        sample,
+        transforms=(lambda s: points_range_filter(s, [0, 0, -9, 9, 9, 9]),),
+        flip=False,
+    )
+    assert len(out2["points"]) == 1 and len(out2["points"][0]) == 1
+
+    # flip=False with defaults: exactly one un-augmented variant
+    out3 = multi_scale_flip_aug_3d(sample)
+    assert len(out3["points"]) == 1
+    np.testing.assert_allclose(out3["points"][0], pts)
+    assert out3["flip"] == [False]
