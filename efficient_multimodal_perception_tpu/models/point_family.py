@@ -15,7 +15,7 @@ from ..core.geometry import (
     crop_to_range,
     project_points_to_cameras,
 )
-from ..ops.sampling import grid_sample_2d
+from ..ops.sampling import grid_sample_2d, grid_sample_2d_mm
 from ..ops.scatter import scatter_set_2d_batch
 
 
@@ -68,7 +68,16 @@ def point_to_cam(
     grid = jnp.stack([gx, gy], axis=-1)  # (B, N, P, 2)
 
     P = points.shape[1]
-    sampled = grid_sample_2d(
+    # Small feature map (16x32 at the production config): the one-hot
+    # MXU matmul form beats XLA's batched 4-corner gather on chip (the
+    # gather was 113 ms at B=8 — the dominant section of the whole
+    # forward; r4 point-family profile).  FLOPs scale with h*w, so big
+    # maps keep the gather form; f32 keeps it too (bf16-rounded
+    # bilinear weights are a perf-path trade, like the fused kernels —
+    # the f32 parity path must stay exact).
+    use_mm = h * w <= 2048 and img_features.dtype == jnp.bfloat16
+    sampler = grid_sample_2d_mm if use_mm else grid_sample_2d
+    sampled = sampler(
         img_features.reshape(B * N, h, w, C), grid.reshape(B * N, P, 2)
     ).reshape(B, N, P, C)
     sampled = sampled * valid[..., None].astype(sampled.dtype)

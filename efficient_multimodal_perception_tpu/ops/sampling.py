@@ -74,6 +74,58 @@ def grid_sample_2d(image: jax.Array, grid: jax.Array) -> jax.Array:
     return out.reshape(*batch_shape, C)
 
 
+def grid_sample_2d_mm(
+    image: jax.Array, grid: jax.Array, precision=None
+) -> jax.Array:
+    """``grid_sample_2d`` as a one-hot matmul — the MXU form.
+
+    For a SMALL feature map (``H*W`` up to a few thousand pixels) XLA's
+    batched 4-corner row gather is bandwidth-pathological on TPU (it
+    degrades super-linearly once the operand crosses ~100 MB — the same
+    knee as the interact gather), while expressing the bilinear sample
+    as ``onehot @ image`` rides the MXU: the per-point bilinear weight
+    row over ``H*W`` pixels is the outer product of a per-axis row
+    one-hot (2 nonzeros: ``wy0@iy0, wy1@iy1``) and a column one-hot, and
+    the zero-padding mask factors per axis.  FLOPs scale with ``H*W`` —
+    callers gate on the map size (``point_to_cam``: 16x32 map, where
+    this replaces a 113 ms gather with a ~1.4 TF matmul).
+
+    Same args/semantics as :func:`grid_sample_2d`.
+    """
+    B, H, W, C = image.shape
+    batch_shape = grid.shape[:-1]
+    grid = grid.reshape(B, -1, 2)
+    dt = image.dtype
+
+    x = grid[..., 0]
+    y = grid[..., 1]
+    ix = ((x + 1.0) * W - 1.0) * 0.5
+    iy = ((y + 1.0) * H - 1.0) * 0.5
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+
+    def axis_onehot(i0, frac, size):
+        """(B, N, size) with ``1-frac`` at ``i0`` and ``frac`` at
+        ``i0+1``, zero where the corner is out of range."""
+        pos = jnp.arange(size, dtype=i0.dtype)
+        d = pos[None, None, :] - i0[..., None]  # 0 at i0, 1 at i0+1
+        w = jnp.where(
+            d == 0, 1.0 - frac[..., None],
+            jnp.where(d == 1, frac[..., None], 0.0),
+        )
+        return w.astype(dt)
+
+    rows = axis_onehot(iy0, iy - iy0, H)  # (B, N, H)
+    cols = axis_onehot(ix0, ix - ix0, W)  # (B, N, W)
+    onehot = jnp.einsum("bnh,bnw->bnhw", rows, cols,
+                        precision=precision).reshape(B, -1, H * W)
+    out = jnp.einsum(
+        "bnk,bkc->bnc", onehot, image.reshape(B, H * W, C),
+        precision=precision,
+    )
+    return out.reshape(*batch_shape, C)
+
+
 def normalize_triplane_coords(
     points: jax.Array,
     pc_range,

@@ -104,3 +104,75 @@ def test_sample_triplane_list_nonsquare():
         out = torch_grid_sample(planes[p], grid[..., sel].astype(np.float32))
         ref += out[:, 0]
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_grid_sample_mm_matches_gather_and_torch():
+    """The one-hot MXU form (grid_sample_2d_mm) is the same function as
+    the gather form — incl. zero padding via the factored per-axis
+    masks, grads, and edge coords exactly on pixel borders."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_multimodal_perception_tpu.ops.sampling import (
+        grid_sample_2d_mm,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((3, 16, 32, 7)).astype(np.float32)
+    grid = rng.uniform(-1.6, 1.6, size=(3, 257, 2)).astype(np.float32)
+    # exact borders / corners where the floor-index edge cases live
+    grid[0, :8] = [[-1, -1], [1, 1], [0, 0], [-1, 1],
+                   [1, -1], [0.999, 0.999], [-0.999, 0.5], [2.0, 0.0]]
+
+    ours = np.asarray(grid_sample_2d_mm(img, grid, precision="highest"))
+    base = np.asarray(grid_sample_2d(img, grid))
+    ref = torch_grid_sample(
+        img, grid.reshape(3, 257, 1, 2)
+    ).reshape(3, 257, 7)
+    np.testing.assert_allclose(ours, base, atol=5e-6)
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+    # grads match the gather form (image grad is the matmul transpose)
+    def loss_mm(im):
+        return (grid_sample_2d_mm(im, jnp.asarray(grid),
+                                  precision="highest") ** 2).sum()
+
+    def loss_g(im):
+        return (grid_sample_2d(im, jnp.asarray(grid)) ** 2).sum()
+
+    g_mm = np.asarray(jax.grad(loss_mm)(jnp.asarray(img)))
+    g_g = np.asarray(jax.grad(loss_g)(jnp.asarray(img)))
+    np.testing.assert_allclose(g_mm, g_g, atol=2e-4, rtol=1e-4)
+
+
+def test_point_to_cam_mm_dispatch_matches_gather():
+    """point_to_cam's bf16 one-hot MXU dispatch is the same sampler to
+    bf16 rounding (the f32 path keeps the exact gather form)."""
+    import jax.numpy as jnp
+
+    from efficient_multimodal_perception_tpu.core.geometry import CameraAug
+    from efficient_multimodal_perception_tpu.models import point_family as pf
+
+    rng = np.random.default_rng(11)
+    B, N, P, h, w, C = 2, 3, 513, 16, 32, 24
+    H, W = 256, 512
+    feats = rng.standard_normal((B, N, h, w, C)).astype(np.float32)
+    pts = rng.uniform(-30, 30, (B, P, 3)).astype(np.float32)
+    valid = rng.random((B, P)) < 0.9
+    l2i = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    l2i[..., 2, 3] = 5.0  # push points in front of the "camera"
+    aug = CameraAug.identity(B, N)
+
+    def run(dtype):
+        return np.asarray(
+            pf.point_to_cam(
+                jnp.asarray(pts), jnp.asarray(valid),
+                jnp.asarray(feats, dtype), jnp.asarray(l2i), aug, (H, W),
+            ),
+            np.float32,
+        )
+
+    out_f32 = run(jnp.float32)     # gather form (exact)
+    out_bf16 = run(jnp.bfloat16)   # mm form (bf16-rounded weights)
+    scale = np.abs(out_f32).max() + 1e-6
+    assert np.max(np.abs(out_bf16 - out_f32)) / scale < 3e-2
