@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.scatter import point_axis_pools
+from ..ops.scatter import point_axis_pools_batch
 
 
 class MaskedBatchNorm(nn.Module):
@@ -119,12 +119,11 @@ class PointTriplaneProjector(nn.Module):
 
         X, Y, Z = self.grid_size
         sx, sy, sz = self.split
-        pools = jax.vmap(
-            lambda f, g, v: point_axis_pools(
-                f, g, v, self.grid_size, self.split
-            )
-        )(feats, grid_idx, valid)
-        xy, yz, xz = pools  # (B,X,Y,sz,C), (B,sx,Y,Z,C), (B,X,sy,Z,C)
+        # one flat batch-offset scatter per pool (vmap lowers to a
+        # batched scatter, ~1.7x slower on TPU; see ops/scatter.py)
+        xy, yz, xz = point_axis_pools_batch(
+            feats, grid_idx, valid, self.grid_size, self.split
+        )  # (B,X,Y,sz,C), (B,sx,Y,Z,C), (B,X,sy,Z,C)
 
         # axis-flatten + per-plane MLP, matching the reference permutes
         xy = xy.reshape(B, X, Y, sz * C)

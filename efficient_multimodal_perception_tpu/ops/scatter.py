@@ -280,3 +280,38 @@ def point_axis_pools(
     yz = masked_segment_max(feats, yz_id, valid, sx * Y * Z).reshape(sx, Y, Z, C)
     xz = masked_segment_max(feats, xz_id, valid, X * sy * Z).reshape(X, sy, Z, C)
     return xy, yz, xz
+
+
+def point_axis_pools_batch(feats, grid_idx, valid, grid_size, split):
+    """Batched :func:`point_axis_pools` as ONE flat segment_max per pool.
+
+    ``vmap`` of a segment reduction lowers to a *batched* scatter, which
+    XLA:TPU executes markedly slower than a single flat scatter over
+    batch-offset ids (same finding as the MAE winner scatter: one-flat
+    14.4 ms vs vmapped 24.6 ms isolated, round-2 ledger).
+
+    Args:
+        feats: ``(B, P, C)``; grid_idx ``(B, P, 3)``; valid ``(B, P)``.
+
+    Returns:
+        xy ``(B, X, Y, sz, C)``, yz ``(B, sx, Y, Z, C)``,
+        xz ``(B, X, sy, Z, C)`` — identical to the vmapped form.
+    """
+    B, P, C = feats.shape
+    X, Y, Z = grid_size
+    sx, sy, sz = split
+    kx, ky, kz = X // sx, Y // sy, Z // sz
+    gx, gy, gz = grid_idx[..., 0], grid_idx[..., 1], grid_idx[..., 2]
+    off = jnp.arange(B, dtype=gx.dtype)[:, None]
+    flat_feats = feats.reshape(B * P, C)
+    flat_valid = valid.reshape(B * P)
+
+    def pool(seg_id, nseg, shape):
+        ids = (seg_id + off * nseg).reshape(B * P)
+        out = masked_segment_max(flat_feats, ids, flat_valid, B * nseg)
+        return out.reshape(B, *shape, C)
+
+    xy = pool((gx * Y + gy) * sz + gz // kz, X * Y * sz, (X, Y, sz))
+    yz = pool(((gx // kx) * Y + gy) * Z + gz, sx * Y * Z, (sx, Y, Z))
+    xz = pool((gx * sy + gy // ky) * Z + gz, X * sy * Z, (X, sy, Z))
+    return xy, yz, xz

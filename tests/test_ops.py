@@ -152,3 +152,30 @@ def test_radius_neighbors_vs_bruteforce():
         expected = list(within[:k])
         got = list(idx[i][mask[i]])
         assert got == expected, (i, got, expected)
+
+
+def test_point_axis_pools_batch_matches_vmap():
+    """The flat batch-offset form is bit-identical to vmapped
+    point_axis_pools (max is exact — no tolerance needed)."""
+    import jax
+
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        point_axis_pools_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    grid, split = (8, 8, 4), (4, 4, 2)
+    B, P, C = 3, 200, 6
+    idx = rng.integers(0, [8, 8, 4], size=(B, P, 3)).astype(np.int32)
+    feats = rng.standard_normal((B, P, C)).astype(np.float32)
+    valid = rng.random((B, P)) > 0.2
+
+    ref = jax.vmap(
+        lambda f, g, v: point_axis_pools(f, g, v, grid, split)
+    )(jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(valid))
+    out = point_axis_pools_batch(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(valid), grid,
+        split,
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
