@@ -61,6 +61,37 @@ def upsample_mask(mask: jax.Array, hw: Tuple[int, int]) -> jax.Array:
     return jnp.repeat(jnp.repeat(mask, H // h, axis=1), W // w, axis=2)
 
 
+class SparseBatchNorm2d(nn.Module):
+    """Masked-BN over active pixels (``sparse_utils.py:36-75``).
+
+    The reference's ``SparseBatchNorm2d``/``SparseSyncBatchNorm2d``
+    gather active (unmasked) pixels, run BatchNorm1d over that flat
+    set, and scatter back with zeros at masked positions.  Dead under
+    every shipped config (ConvNeXt stacks are LayerNorm-normed; only
+    ``dense_model_to_sparse(sbn=True)`` would reach it) — kept for
+    registry-surface parity, sharing the projector's masked-statistics
+    BatchNorm.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, active_mask, train: bool = False):
+        from .point_projector import MaskedBatchNorm
+
+        B, H, W, C = x.shape
+        m = upsample_mask(active_mask, (H, W))[..., 0]  # (B, H, W) bool
+        y = MaskedBatchNorm(
+            momentum=self.momentum, epsilon=self.epsilon, dtype=self.dtype,
+            name="bn",
+        )(x, m, train)
+        # sp_bn_forward scatters into a zeros canvas: masked pixels are
+        # ZERO on output (not pass-through)
+        return y * m[..., None].astype(y.dtype)
+
+
 def random_active_mask(
     rng: jax.Array, batch: int, h: int, w: int, mask_ratio: float
 ) -> jax.Array:

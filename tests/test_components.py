@@ -206,3 +206,34 @@ def test_convnext_dead_registered_params():
     assert tf(np.zeros((768, 16, 1, 1), np.float32)).shape == (1, 1, 16, 768)
     path, _ = map_torch_key("camera_encoder.reduce_dim.2.bias")
     assert path == "camera_encoder/reduce_dim_2_bias"
+
+
+def test_sparse_batch_norm_2d_oracle():
+    """SparseBatchNorm2d == BN1d over the flat active-pixel set with
+    zeros scattered at masked positions (sparse_utils.py:36-75)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.models.convnext import (
+        SparseBatchNorm2d,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 8, 8, 5
+    x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    mask = rng.random((B, 4, 4, 1)) < 0.6  # stride-2 active mask
+
+    mod = SparseBatchNorm2d()
+    y, _ = mod.init_with_output(
+        jax.random.key(0), jnp.asarray(x), jnp.asarray(mask), True
+    )
+    y = np.asarray(y)
+
+    up = np.repeat(np.repeat(mask, 2, axis=1), 2, axis=2)[..., 0]
+    act = x[up]                      # (n_active, C)
+    mean = act.mean(0)
+    var = act.var(0)
+    ref_act = (act - mean) / np.sqrt(var + 1e-5)  # scale=1, bias=0 init
+    ref = np.zeros_like(x)
+    ref[up] = ref_act
+    np.testing.assert_allclose(y, ref, atol=1e-5)
