@@ -32,7 +32,7 @@ def main():
     args = p.parse_args()
     only = set((args.only or "1,2,3").split(","))
 
-    err = bench._preflight()
+    err = bench._preflight_retry()
     if err is not None:
         print(json.dumps({"error": err}))
         return

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Sub-section timing of the point projector (the spconv replacement).
+
+Splits the 30 ms ``projector`` section of ``tools/profile_point.py``
+into: point-MLP chain (BN+Dense), camera reduce, the three flat
+segment_max axis pools (``ops/scatter.point_axis_pools_batch``), and
+the per-plane MLPs — to find where the scatter time actually goes.
+Also A/Bs the vmapped vs flat pool forms at production shapes.
+
+    python tools/profile_proj.py [batch_size] [iters]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        masked_segment_max,
+        point_axis_pools,
+        point_axis_pools_batch,
+    )
+
+    P, C = 36864, 128
+    grid, split = (128, 128, 80), (25, 25, 20)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((B, P, C)), jnp.bfloat16
+    )
+    idx = jnp.asarray(
+        rng.integers(0, [128, 128, 80], size=(B, P, 3)), jnp.int32
+    )
+    valid = jnp.asarray(rng.random((B, P)) < 0.94)
+
+    def flat(f, g, v):
+        return sum(
+            t.astype(jnp.float32).sum()
+            for t in point_axis_pools_batch(f, g, v, grid, split)
+        )
+
+    def vmapped(f, g, v):
+        return sum(
+            t.astype(jnp.float32).sum()
+            for t in jax.vmap(
+                lambda ff, gg, vv: point_axis_pools(ff, gg, vv,
+                                                    grid, split)
+            )(f, g, v)
+        )
+
+    def one_pool_xy(f, g, v):
+        X, Y, Z = grid
+        sz = split[2]
+        kz = Z // sz
+        gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
+        ids = (gx * Y + gy) * sz + gz // kz
+        ids = ids + jnp.arange(B, dtype=ids.dtype)[:, None] * (X * Y * sz)
+        out = masked_segment_max(
+            f.reshape(B * P, C), ids.reshape(-1), v.reshape(-1),
+            B * X * Y * sz,
+        )
+        return out.astype(jnp.float32).sum()
+
+    for name, fn in [
+        ("pools_flat", flat),
+        ("pools_vmap", vmapped),
+        ("pool_xy_only", one_pool_xy),
+    ]:
+        try:
+            dt = timeit(jax.jit(fn), feats, idx, valid, iters=iters)
+            print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:14s} ERROR {type(e).__name__}: {e}"[:240],
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
