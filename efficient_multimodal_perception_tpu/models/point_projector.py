@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.scatter import point_axis_pools_batch
+from ..ops.scatter import point_plane_pools_batch
 
 
 class MaskedBatchNorm(nn.Module):
@@ -120,15 +120,17 @@ class PointTriplaneProjector(nn.Module):
         X, Y, Z = self.grid_size
         sx, sy, sz = self.split
         # one flat batch-offset scatter per pool (vmap lowers to a
-        # batched scatter, ~1.7x slower on TPU; see ops/scatter.py)
-        xy, yz, xz = point_axis_pools_batch(
+        # batched scatter, ~1.7x slower on TPU; see ops/scatter.py),
+        # emitted directly in plane-flatten order so the reference's
+        # permutes (:111-115) become free reshapes (no relayout)
+        xy, yz, xz = point_plane_pools_batch(
             feats, grid_idx, valid, self.grid_size, self.split
-        )  # (B,X,Y,sz,C), (B,sx,Y,Z,C), (B,X,sy,Z,C)
+        )  # (B,X,Y,sz,C), (B,Y,Z,sx,C), (B,X,Z,sy,C)
 
         # axis-flatten + per-plane MLP, matching the reference permutes
         xy = xy.reshape(B, X, Y, sz * C)
-        yz = yz.transpose(0, 2, 3, 1, 4).reshape(B, Y, Z, sx * C)
-        xz = xz.transpose(0, 1, 3, 2, 4).reshape(B, X, Z, sy * C)
+        yz = yz.reshape(B, Y, Z, sx * C)
+        xz = xz.reshape(B, X, Z, sy * C)
 
         def plane_mlp(t, name):
             t = nn.Dense(C, dtype=self.dtype, name=f"{name}_fc1")(t)

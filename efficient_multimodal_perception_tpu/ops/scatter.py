@@ -315,3 +315,40 @@ def point_axis_pools_batch(feats, grid_idx, valid, grid_size, split):
     yz = pool(((gx // kx) * Y + gy) * Z + gz, sx * Y * Z, (sx, Y, Z))
     xz = pool((gx * sy + gy // ky) * Z + gz, X * sy * Z, (X, sy, Z))
     return xy, yz, xz
+
+
+def point_plane_pools_batch(feats, grid_idx, valid, grid_size, split):
+    """:func:`point_axis_pools_batch` with plane-flatten output layouts.
+
+    The projector flattens the pooled axis into channels
+    (``point_triplane_projector.py:111-115`` permutes then reshapes);
+    with the axis-pool layouts that costs two full-tensor relayouts
+    (yz ``(B,sx,Y,Z,C)->(B,Y,Z,sx,C)`` and xz alike, ~65 MB/sample
+    each r+w).  Segment ids are arbitrary labels, so emitting the
+    scatter *directly* in plane order is free — same one-flat-scatter
+    per pool, zero transposes downstream.
+
+    Returns:
+        xy ``(B, X, Y, sz, C)``, yz ``(B, Y, Z, sx, C)``,
+        xz ``(B, X, Z, sy, C)`` — each ``reshape(B, H, W, k*C)`` away
+        from the plane-MLP input, and exactly the transpose of the
+        :func:`point_axis_pools_batch` outputs.
+    """
+    B, P, C = feats.shape
+    X, Y, Z = grid_size
+    sx, sy, sz = split
+    kx, ky, kz = X // sx, Y // sy, Z // sz
+    gx, gy, gz = grid_idx[..., 0], grid_idx[..., 1], grid_idx[..., 2]
+    off = jnp.arange(B, dtype=gx.dtype)[:, None]
+    flat_feats = feats.reshape(B * P, C)
+    flat_valid = valid.reshape(B * P)
+
+    def pool(seg_id, nseg, shape):
+        ids = (seg_id + off * nseg).reshape(B * P)
+        out = masked_segment_max(flat_feats, ids, flat_valid, B * nseg)
+        return out.reshape(B, *shape, C)
+
+    xy = pool((gx * Y + gy) * sz + gz // kz, X * Y * sz, (X, Y, sz))
+    yz = pool((gy * Z + gz) * sx + gx // kx, Y * Z * sx, (Y, Z, sx))
+    xz = pool((gx * Z + gz) * sy + gy // ky, X * Z * sy, (X, Z, sy))
+    return xy, yz, xz

@@ -179,3 +179,32 @@ def test_point_axis_pools_batch_matches_vmap():
     )
     for r, o in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+
+def test_point_plane_pools_batch_is_transposed_axis_pools():
+    """The plane-layout pools are exactly the permute of the axis-pool
+    outputs (the projector's reference flatten order,
+    point_triplane_projector.py:111-115), bit-identical."""
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        point_axis_pools_batch,
+        point_plane_pools_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    grid, split = (8, 8, 4), (4, 4, 2)
+    B, P, C = 3, 200, 6
+    idx = jnp.asarray(
+        rng.integers(0, [8, 8, 4], size=(B, P, 3)).astype(np.int32)
+    )
+    feats = jnp.asarray(rng.standard_normal((B, P, C)).astype(np.float32))
+    valid = jnp.asarray(rng.random((B, P)) > 0.2)
+
+    xy_a, yz_a, xz_a = point_axis_pools_batch(feats, idx, valid, grid, split)
+    xy_p, yz_p, xz_p = point_plane_pools_batch(feats, idx, valid, grid, split)
+    np.testing.assert_array_equal(np.asarray(xy_p), np.asarray(xy_a))
+    np.testing.assert_array_equal(
+        np.asarray(yz_p), np.asarray(yz_a.transpose(0, 2, 3, 1, 4))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(xz_p), np.asarray(xz_a.transpose(0, 1, 3, 2, 4))
+    )
