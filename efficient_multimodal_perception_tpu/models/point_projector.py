@@ -119,12 +119,22 @@ class PointTriplaneProjector(nn.Module):
 
         X, Y, Z = self.grid_size
         sx, sy, sz = self.split
+        # the plane MLPs absorb the pools' empty-cell->0 fix (spconv
+        # .dense() semantics) when the fused Pallas path is available —
+        # the where(finite) cleanup over ~590 MB of pooled planes (B=4)
+        # is a full HBM round trip XLA cannot fuse into the fc1 dot
+        fused = (
+            self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and C % 128 == 0
+            and not self.is_initializing()
+        )
         # one flat batch-offset scatter per pool (vmap lowers to a
         # batched scatter, ~1.7x slower on TPU; see ops/scatter.py),
         # emitted directly in plane-flatten order so the reference's
         # permutes (:111-115) become free reshapes (no relayout)
         xy, yz, xz = point_plane_pools_batch(
-            feats, grid_idx, valid, self.grid_size, self.split
+            feats, grid_idx, valid, self.grid_size, self.split, raw=fused
         )  # (B,X,Y,sz,C), (B,Y,Z,sx,C), (B,X,Z,sy,C)
 
         # axis-flatten + per-plane MLP, matching the reference permutes
@@ -133,9 +143,22 @@ class PointTriplaneProjector(nn.Module):
         xz = xz.reshape(B, X, Z, sy * C)
 
         def plane_mlp(t, name):
-            t = nn.Dense(C, dtype=self.dtype, name=f"{name}_fc1")(t)
-            t = nn.relu(t)
-            return nn.Dense(C, dtype=self.dtype, name=f"{name}_fc2")(t)
+            fc1 = nn.Dense(C, dtype=self.dtype, name=f"{name}_fc1")
+            fc2 = nn.Dense(C, dtype=self.dtype, name=f"{name}_fc2")
+            M = t.shape[0] * t.shape[1] * t.shape[2]
+            if fused and M % 128 == 0:
+                from ..ops.pallas_kernels import finite_mlp_fused
+
+                p1 = self.get_variable("params", f"{name}_fc1")
+                p2 = self.get_variable("params", f"{name}_fc2")
+                out = finite_mlp_fused(
+                    t.reshape(M, t.shape[-1]),
+                    p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+                )
+                return out.reshape(*t.shape[:3], C)
+            if fused:  # raw pools but untileable rows: clean inline
+                t = jnp.where(t == -jnp.inf, 0.0, t)
+            return fc2(nn.relu(fc1(t)))
 
         return [
             plane_mlp(xy, "mlp_xy"),

@@ -1876,3 +1876,119 @@ def _gelu_dense_bwd(res, g):
 
 
 gelu_dense_fused.defvjp(_gelu_dense_fwd, _gelu_dense_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused finite-or-zero -> 2-layer MLP (point-projector plane MLPs)
+# ---------------------------------------------------------------------------
+# The projector's axis pools (ops/scatter.point_plane_pools_batch, the
+# spconv SparseMaxPool3d replacement — reference
+# point_triplane_projector.py:66-117) scatter-max into -inf-initialized
+# grids; spconv's "empty voxel densifies to 0" convention then needs a
+# where(finite, x, 0) over ~590 MB of pooled planes (B=4) BEFORE the
+# plane MLP can read them — a full HBM round trip XLA cannot fuse into
+# the dot.  This kernel runs the cleanup on the row tile already in
+# VMEM and chains fc1 -> relu -> fc2 on the MXU; the cleaned tensor and
+# the (M, C) hidden never touch HBM.
+
+
+def _finite_mlp_rows(M: int, K: int, N: int,
+                     budget: int = 12_000_000) -> int:
+    """Largest power-of-two row tile R dividing M whose working set
+    (double-buffered x/out blocks, f32 cleaned copy, two resident bf16
+    weights, two f32 accumulators) fits the scoped-VMEM budget."""
+    r = 1
+    while M % (r * 2) == 0 and r * 2 <= 1024:
+        need = (
+            2 * (2 * r * 2 * K)    # x blocks (bf16, double-buffered)
+            + 4 * r * 2 * K        # f32 cleaned copy
+            + 2 * K * N            # resident w1 (bf16)
+            + 2 * N * N            # resident w2 (bf16)
+            + 2 * 4 * r * 2 * N    # f32 h + o accumulators
+            + 2 * (2 * r * 2 * N)  # out blocks (bf16, double-buffered)
+        )
+        if need > budget:
+            break
+        r *= 2
+    return r
+
+
+def _finite_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    # pools only ever leave the -inf init in empty cells (point feats
+    # are finite), so finite-or-zero == "replace -inf with 0"
+    z = jnp.where(xf == -jnp.inf, 0.0, xf)
+    h = jnp.dot(z.astype(w1_ref.dtype), w1_ref[:],
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
+    o = jnp.dot(h.astype(w2_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _xla_finite_mlp(x, w1, b1, w2, b2):
+    """XLA replay of the kernel math (same cast points) for the VJP and
+    the non-TPU fallback."""
+    xf = x.astype(jnp.float32)
+    z = jnp.where(xf == -jnp.inf, 0.0, xf)
+    h = jnp.dot(z.astype(w1.dtype), w1.astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1.astype(jnp.float32), 0.0)
+    o = jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return (o + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def _finite_mlp_impl(x, w1, b1, w2, b2, interpret):
+    M, K = x.shape
+    N = w1.shape[1]
+    R = _finite_mlp_rows(M, K, N)
+    dt = x.dtype
+    operands = [
+        x,
+        w1.astype(dt),
+        b1.astype(jnp.float32),
+        w2.astype(dt),
+        b2.astype(jnp.float32),
+    ]
+    specs = [
+        pl.BlockSpec((R, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(arg.shape, lambda i, nd=arg.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for arg in operands[1:]
+    ]
+    return pl.pallas_call(
+        _finite_mlp_kernel,
+        grid=(M // R,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((R, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), dt),
+        interpret=interpret,
+    )(*operands)
+
+
+@jax.custom_vjp
+def finite_mlp_fused(x, w1, b1, w2, b2):
+    """``relu((finite0(x) @ w1 + b1)) @ w2 + b2`` in one Pallas pass.
+
+    ``finite0`` zeroes the -inf rows the raw axis pools leave in empty
+    cells.  Args: x ``(M, K)`` (bf16 hot path), w1 ``(K, N)``,
+    w2 ``(N, N)``, biases ``(N,)``/``(N,)``.
+    """
+    return _finite_mlp_impl(
+        x, w1, b1, w2, b2, interpret=jax.default_backend() != "tpu"
+    )
+
+
+def _finite_mlp_fwd(x, w1, b1, w2, b2):
+    return finite_mlp_fused(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _finite_mlp_bwd(res, g):
+    _, vjp = jax.vjp(_xla_finite_mlp, *res)
+    return vjp(g)
+
+
+finite_mlp_fused.defvjp(_finite_mlp_fwd, _finite_mlp_bwd)

@@ -34,6 +34,11 @@ def masked_segment_max(
         seg_ids: ``(P,)`` int segment ids in ``[0, num_segments)``.
         valid: ``(P,)`` bool; invalid rows are routed to a slop segment.
         num_segments: number of real segments.
+        empty_value: fill for empty segments; ``None`` skips the
+            cleanup pass and leaves ``-inf`` there (for consumers that
+            fuse the finite-or-zero fix into their own prologue, e.g.
+            ``ops/pallas_kernels.finite_mlp_fused`` — the cleanup is a
+            full HBM round trip of the pooled planes otherwise).
 
     Returns:
         ``(num_segments, C)``.
@@ -43,6 +48,8 @@ def masked_segment_max(
     out = jax.ops.segment_max(
         jnp.where(valid[:, None], feats, neg), ids, num_segments=num_segments + 1
     )[:num_segments]
+    if empty_value is None:
+        return out
     return jnp.where(jnp.isfinite(out), out, empty_value)
 
 
@@ -317,7 +324,8 @@ def point_axis_pools_batch(feats, grid_idx, valid, grid_size, split):
     return xy, yz, xz
 
 
-def point_plane_pools_batch(feats, grid_idx, valid, grid_size, split):
+def point_plane_pools_batch(feats, grid_idx, valid, grid_size, split,
+                            raw: bool = False):
     """:func:`point_axis_pools_batch` with plane-flatten output layouts.
 
     The projector flattens the pooled axis into channels
@@ -332,7 +340,8 @@ def point_plane_pools_batch(feats, grid_idx, valid, grid_size, split):
         xy ``(B, X, Y, sz, C)``, yz ``(B, Y, Z, sx, C)``,
         xz ``(B, X, Z, sy, C)`` — each ``reshape(B, H, W, k*C)`` away
         from the plane-MLP input, and exactly the transpose of the
-        :func:`point_axis_pools_batch` outputs.
+        :func:`point_axis_pools_batch` outputs.  ``raw=True`` leaves
+        ``-inf`` in empty cells (see :func:`masked_segment_max`).
     """
     B, P, C = feats.shape
     X, Y, Z = grid_size
@@ -342,10 +351,13 @@ def point_plane_pools_batch(feats, grid_idx, valid, grid_size, split):
     off = jnp.arange(B, dtype=gx.dtype)[:, None]
     flat_feats = feats.reshape(B * P, C)
     flat_valid = valid.reshape(B * P)
+    empty = None if raw else 0.0
 
     def pool(seg_id, nseg, shape):
         ids = (seg_id + off * nseg).reshape(B * P)
-        out = masked_segment_max(flat_feats, ids, flat_valid, B * nseg)
+        out = masked_segment_max(
+            flat_feats, ids, flat_valid, B * nseg, empty_value=empty
+        )
         return out.reshape(B, *shape, C)
 
     xy = pool((gx * Y + gy) * sz + gz // kz, X * Y * sz, (X, Y, sz))

@@ -486,3 +486,92 @@ def test_mit_block_fused_prologue_matches_unfused():
         np.testing.assert_allclose(np.asarray(flat0[k]),
                                    np.asarray(flat1[k]),
                                    atol=3e-5, rtol=3e-5, err_msg=k)
+
+
+def test_finite_mlp_fused_interpret():
+    """finite_mlp_fused == where(-inf -> 0) + fc1 + relu + fc2 (fwd,
+    interpret mode) and its VJP == the XLA replay's VJP; -inf rows get
+    exactly the bias-only output and zero input-gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        _xla_finite_mlp,
+        finite_mlp_fused,
+    )
+
+    rng = np.random.default_rng(1)
+    M, K, N = 64, 256, 128
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    x[rng.random((M, K)) < 0.3] = -np.inf  # empty pooled cells
+    x[3] = -np.inf  # a fully-empty row
+    x = jnp.asarray(x)
+    w1 = jnp.asarray(rng.normal(size=(K, N)) / np.sqrt(K), jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(N,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(N, N)) / np.sqrt(N), jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(N,)) * 0.1, jnp.float32)
+
+    out = finite_mlp_fused(x, w1, b1, w2, b2)
+    ref = _xla_finite_mlp(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # empty row == bias-only path
+    zero_ref = _xla_finite_mlp(jnp.zeros((1, K)), w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out)[3], np.asarray(zero_ref)[0],
+                               atol=1e-6)
+
+    g_f = jax.grad(
+        lambda *a: finite_mlp_fused(*a).sum(), argnums=(0, 1, 2, 3, 4)
+    )(x, w1, b1, w2, b2)
+    g_r = jax.grad(
+        lambda *a: _xla_finite_mlp(*a).sum(), argnums=(0, 1, 2, 3, 4)
+    )(x, w1, b1, w2, b2)
+    for a, r in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
+    # -inf inputs must not leak gradient (and must not be NaN)
+    dx = np.asarray(g_f[0])
+    assert np.all(np.isfinite(dx) | np.isinf(np.asarray(x)))
+    assert np.all(dx[np.asarray(x) == -np.inf] == 0.0)
+
+
+def test_raw_pools_plus_finite_mlp_matches_cleaned_dense():
+    """The projector's fused formulation — raw (-inf-empty) pools fed
+    to finite_mlp_fused — equals the plain path: cleaned (0-empty)
+    pools through fc1+relu+fc2."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_multimodal_perception_tpu.ops.pallas_kernels import (
+        finite_mlp_fused,
+    )
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        point_plane_pools_batch,
+    )
+
+    rng = np.random.default_rng(2)
+    grid, split = (8, 8, 4), (4, 4, 2)
+    B, P, C = 2, 64, 128  # sparse: most cells empty
+    idx = jnp.asarray(rng.integers(0, [8, 8, 4], size=(B, P, 3)),
+                      jnp.int32)
+    feats = jnp.asarray(rng.standard_normal((B, P, C)), jnp.float32)
+    valid = jnp.asarray(rng.random((B, P)) > 0.3)
+    w1 = jnp.asarray(rng.normal(size=(split[2] * C, C)) * 0.05,
+                     jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(C, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+
+    clean = point_plane_pools_batch(feats, idx, valid, grid, split)[0]
+    raw = point_plane_pools_batch(feats, idx, valid, grid, split,
+                                  raw=True)[0]
+    X, Y = grid[0], grid[1]
+    M = B * X * Y
+    clean2 = clean.reshape(M, -1)
+    raw2 = raw.reshape(M, -1)
+    ref = jnp.maximum(clean2 @ w1 + b1, 0.0) @ w2 + b2
+    out = finite_mlp_fused(raw2, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

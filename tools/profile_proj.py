@@ -83,10 +83,62 @@ def main():
         )
         return out.astype(jnp.float32).sum()
 
+    def sorted_pool_xy(f, g, v):
+        # A/B: does sorting ids first make the TPU scatter cheaper?
+        X, Y, Z = grid
+        sz = split[2]
+        kz = Z // sz
+        gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
+        nseg = X * Y * sz
+        ids = (gx * Y + gy) * sz + gz // kz
+        ids = ids + jnp.arange(B, dtype=ids.dtype)[:, None] * nseg
+        ids = jnp.where(v, ids, B * nseg).reshape(-1)
+        order = jnp.argsort(ids)
+        ids_s = ids[order]
+        f_s = f.reshape(B * P, C)[order]
+        neg = jnp.asarray(-jnp.inf, f.dtype)
+        out = jax.ops.segment_max(
+            jnp.where((ids_s < B * nseg)[:, None], f_s, neg),
+            ids_s,
+            num_segments=B * nseg + 1,
+            indices_are_sorted=True,
+        )[: B * nseg]
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return out.astype(jnp.float32).sum()
+
+    def combined(f, g, v):
+        # all three pools as ONE scatter: concat segment-id spaces and
+        # tile the rows 3x (442k rows, one output init instead of 3)
+        X, Y, Z = grid
+        sx, sy, sz = split
+        kx, ky, kz = X // sx, Y // sy, Z // sz
+        gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
+        n_xy, n_yz, n_xz = X * Y * sz, Y * Z * sx, X * Z * sy
+        xy_id = (gx * Y + gy) * sz + gz // kz
+        yz_id = (gy * Z + gz) * sx + gx // kx + n_xy
+        xz_id = (gx * Z + gz) * sy + gy // ky + n_xy + n_yz
+        nseg = n_xy + n_yz + n_xz
+        off = jnp.arange(B, dtype=gx.dtype)[:, None] * nseg
+        ids = jnp.stack([xy_id + off, yz_id + off, xz_id + off], 0)
+        ids = jnp.where(v[None], ids, B * nseg).reshape(-1)
+        f3 = jnp.broadcast_to(f.reshape(1, B * P, C), (3, B * P, C))
+        neg = jnp.asarray(-jnp.inf, f.dtype)
+        out = jax.ops.segment_max(
+            jnp.where(
+                (ids < B * nseg)[:, None], f3.reshape(-1, C), neg
+            ),
+            ids,
+            num_segments=B * nseg + 1,
+        )[: B * nseg]
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return out.astype(jnp.float32).sum()
+
     for name, fn in [
         ("pools_flat", flat),
         ("pools_vmap", vmapped),
         ("pool_xy_only", one_pool_xy),
+        ("pool_xy_sorted", sorted_pool_xy),
+        ("pools_combined", combined),
     ]:
         try:
             dt = timeit(jax.jit(fn), feats, idx, valid, iters=iters)
