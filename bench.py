@@ -25,7 +25,8 @@ reports an ``*_error`` key instead of killing the line):
   elev        — triplane_elev fine-tune train step (frozen
                 encoder+neck, smp-Unet head)
 
-``--only {infer,train,mae,point,point_train,elev}`` runs one section
+``--only {infer,train,mae,surf_sam,point,point_train,elev}`` runs one
+section
 (its number becomes the main metric).  ``--train`` is the legacy
 spelling of ``--only train``.  ``mfu`` is estimated from XLA's cost
 analysis against the v5e bf16 peak (197 TF/s/chip).
@@ -73,7 +74,8 @@ def parse_args():
     p.add_argument("iters", nargs="?", type=int, default=30)
     p.add_argument(
         "--only",
-        choices=("infer", "train", "mae", "point", "point_train", "elev"),
+        choices=("infer", "train", "mae", "surf_sam", "point",
+                 "point_train", "elev"),
         default=None,
     )
     p.add_argument("--train", action="store_true",
@@ -154,6 +156,42 @@ def _fused_attn_flops(cfg, batch_size: int, dtype) -> float:
     if not _use_fused_attn(dtype, n_tok, n_tok):
         return 0.0
     return blocks * heads * batch_size * 2 * 2 * n_tok**2 * hd
+
+
+def _fused_prologue_flops(cfg, batch_size: int, dtype) -> float:
+    """Forward GEMM FLOPs of the fused LN->GEMM / GELU->GEMM neck
+    prologues — Pallas custom calls XLA's cost analysis can't see
+    (VERDICT r4 #1: BENCH_r04 reported 0.246 TF/sample vs r2's 0.369
+    for the same model; the missing 0.123 TF/sample is exactly these
+    three GEMMs per block).  Only the FORWARD is a custom call: the
+    custom-VJP backward replays the XLA restatement
+    (``pallas_kernels._ln_dense_bwd`` / ``_gelu_dense_bwd``), so train
+    backward FLOPs are already in the cost analysis.
+
+    Gated on the SAME predicate as the kernel dispatch
+    (``models.mit.fused_prologue_active``), with the neck's int8 flag
+    read from the config (int8 necks run the unfused Int8Dense path).
+    Per block (``MixVisionTransformer`` hardcodes 2 blocks, heads=4,
+    mlp_ratio=2, sr_ratio=1): LN->q|kv (C->3C) + LN->fc1 (C->2C) +
+    GELU->fc2 (2C->C) = 2*N*C*(3C+2C+2C) MACs' worth of FLOPs.
+    """
+    from efficient_multimodal_perception_tpu.models.mit import (
+        fused_prologue_active,
+    )
+
+    neck = cfg["model"].get("neck", {})
+    if neck.get("type") not in ("MixVisionTransformer",):
+        return 0.0
+    h, w = neck.get("img_size", (128, 32))
+    patch = neck.get("patch_size", 1)
+    n_tok = (h // patch) * (w // patch)
+    C = neck.get("embed_dim", 768)
+    if not fused_prologue_active(
+        (batch_size, n_tok, C), dtype, neck.get("int8", False)
+    ):
+        return 0.0
+    blocks, mlp_ratio = 2, 2
+    return batch_size * blocks * 2 * n_tok * C * (3 + 2 * mlp_ratio) * C
 
 
 def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
@@ -279,6 +317,7 @@ def bench_infer(
     np.asarray(out)
     dt = time.perf_counter() - t0
     flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)
+    flops += _fused_prologue_flops(cfg, batch_size, jnp.bfloat16)
     return dict(
         samples_per_s=batch_size * iters / dt,
         step_s=dt / iters,
@@ -314,6 +353,7 @@ def bench_occ_train(
     )
     dt, flops = _time_train(step_fn, state, batch, iters)
     flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)
+    flops += _fused_prologue_flops(cfg, batch_size, jnp.bfloat16)
     return dict(
         samples_per_s=batch_size * iters / dt,
         step_s=dt / iters,
@@ -359,6 +399,12 @@ def bench_mae_train(
         cfg, model, batch, tuple(rng_names), frozen=True
     )
     dt, flops = _time_train(step_fn, state, batch, iters)
+    # the MAE necks take the same fused attention + prologue custom
+    # calls as the occ neck; the decoders' sr_ratio=4 blocks do not
+    # (fuse requires sr_ratio==1) and their rectangular fused attention
+    # is deliberately left uncounted (MFU stays conservative).
+    flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)
+    flops += _fused_prologue_flops(cfg, batch_size, jnp.bfloat16)
     return dict(
         samples_per_s=batch_size * iters / dt,
         step_s=dt / iters,
@@ -467,6 +513,7 @@ def bench_elev_train(batch_size: int, iters: int, fused: bool = False):
     )
     dt, flops = _time_train(step_fn, state, batch, iters)
     flops += _fused_attn_flops(cfg, batch_size, jnp.bfloat16)
+    flops += _fused_prologue_flops(cfg, batch_size, jnp.bfloat16)
     return dict(
         samples_per_s=batch_size * iters / dt,
         step_s=dt / iters,
@@ -625,7 +672,8 @@ def main():
 
     sections = {}
     plan = [only] if only else [
-        "infer", "train", "mae", "point", "point_train", "elev",
+        "infer", "train", "mae", "surf_sam", "point", "point_train",
+        "elev",
     ]
     runners = {
         "infer": lambda: bench_infer(
@@ -650,6 +698,13 @@ def main():
         ),
         "mae": lambda: bench_mae_train(
             2, max(8, args.iters // 4), fused=args.fused
+        ),
+        # surf_sam operating point: B=8 (r3 chip battery with the
+        # production freeze: B2 8.22 / B4 8.78 / B8 8.82 samples/s —
+        # B>=4 unlocked by the sampler-bwd scoped-budget fix).
+        "surf_sam": lambda: bench_mae_train(
+            8, max(6, args.iters // 5), fused=args.fused,
+            config="triplane_surf_sam",
         ),
         # Point-family + elevation operating points from the r4 chip
         # battery (tools/measure_r4.py): point infer B8 26.22 > B4
@@ -677,6 +732,7 @@ def main():
         "infer": "triplane_occ samples/sec/chip",
         "train": "triplane_occ train samples/sec/chip",
         "mae": "triplane_range_cam MAE train samples/sec/chip",
+        "surf_sam": "triplane_surf_sam MAE train samples/sec/chip",
         "point": "point_triplane_occ samples/sec/chip",
         "point_train": "point_triplane_occ train samples/sec/chip",
         "elev": "triplane_elev train samples/sec/chip",
@@ -702,6 +758,7 @@ def main():
         s = sections[name]
         key = {
             "train": "occ_train", "mae": "mae_train", "infer": "infer",
+            "surf_sam": "surf_sam_train",
             "point": "point_occ", "point_train": "point_occ_train",
             "elev": "elev_train",
         }[name]

@@ -74,9 +74,10 @@ def _sp_constraint(x):
     return jax.lax.with_sharding_constraint(x, P(None, "model", None))
 
 
-def _use_fused_prologue(x, int8) -> bool:
-    """Dispatch the fused LN->GEMM / GELU->GEMM Pallas prologues
-    (``ops/pallas_kernels.ln_dense_fused`` / ``gelu_dense_fused``).
+def fused_prologue_active(shape, dtype, int8) -> bool:
+    """Shape-level dispatch predicate for the fused LN->GEMM /
+    GELU->GEMM Pallas prologues (``ops/pallas_kernels.ln_dense_fused``
+    / ``gelu_dense_fused``).
 
     XLA cannot fuse the LayerNorm row reduction into the following dot,
     so each of the neck block's LNs costs an extra HBM round trip of the
@@ -84,18 +85,26 @@ def _use_fused_prologue(x, int8) -> bool:
     (B*4096, 2048) hidden stream.  Structural requirements: bf16 on TPU,
     no tensor parallelism (a Pallas call has no GSPMD rule), row count
     tileable, 128-lane channel dims.
+
+    Shared with ``bench.py::_fused_prologue_flops`` so the FLOPs the
+    cost analysis can't see (the prologues are custom calls) are added
+    back under EXACTLY the dispatch condition (VERDICT r4 #1).
     """
     from ..parallel.fsdp import ambient_model_axis
 
-    B, N, C = x.shape
+    B, N, C = shape
     return (
         not int8
-        and x.dtype == jnp.bfloat16
+        and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
         and ambient_model_axis() == 1
         and (B * N) % 1024 == 0
         and C % 128 == 0
     )
+
+
+def _use_fused_prologue(x, int8) -> bool:
+    return fused_prologue_active(x.shape, x.dtype, int8)
 
 
 def _dense(int8, features: int, use_bias: bool, dtype, name: str):
