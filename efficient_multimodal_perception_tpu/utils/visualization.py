@@ -199,3 +199,230 @@ def save_occupancy_npz(
         os.path.join(out_dir, str(count)),
         pred_occ=pred_occ, gt_occ=gt_occ, points=points.reshape(-1, 3),
     )
+
+
+# ---------------------------------------------------------------------------
+# Camera-image overlays.
+#
+# Rebuild of ``core/visualizer/image_vis.py``: ``project_pts_on_img``
+# (:8-57), ``plot_rect3d_on_img`` (:59-83) and the three
+# ``draw_*_bbox3d_on_img`` projectors (:86-197).  Headless by design:
+# every function RETURNS the uint8 image (and optionally writes it)
+# instead of calling ``cv2.imshow``.  Boxes are plain ``(N, 7)`` arrays
+# in this repo (no Instance3DBoxes classes); corner/frame conversions
+# reuse the oracle-tested ``core.boxes`` helpers.
+# ---------------------------------------------------------------------------
+
+_BOX_EDGES = (
+    (0, 1), (1, 2), (2, 3), (3, 0),   # bottom ring
+    (4, 5), (5, 6), (6, 7), (7, 4),   # top ring
+    (0, 4), (1, 5), (2, 6), (3, 7),   # verticals
+)
+
+
+def _hsv256():
+    """256-entry HSV colormap, 0-255 RGB (``image_vis.py:42-43``)."""
+    h = np.arange(256, dtype=np.float64) / 256.0  # hue in [0, 1)
+    i = np.floor(h * 6).astype(int)
+    f = h * 6 - i
+    one = np.ones_like(h)
+    comps = [  # value=1, saturation=1 wheel
+        (one, f, 0 * one), (1 - f, one, 0 * one), (0 * one, one, f),
+        (0 * one, 1 - f, one), (f, 0 * one, one), (one, 0 * one, 1 - f),
+    ]
+    rgb = np.stack(
+        [np.choose(i % 6, [c[k] for c in comps]) for k in range(3)], -1
+    )
+    return (rgb * 255.0).astype(np.float64)
+
+
+def _maybe_write(img: np.ndarray, out_path):
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        try:
+            import cv2
+
+            cv2.imwrite(out_path, img[..., ::-1])  # RGB -> BGR on disk
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(img).save(out_path)
+    return img
+
+
+def project_pts_on_img(
+    points: np.ndarray,
+    raw_img: np.ndarray,
+    lidar2img_rt: np.ndarray,
+    max_distance: float = 70.0,
+    thickness: int = -1,
+    out_path: str | None = None,
+) -> np.ndarray:
+    """Overlay a depth-colored point cloud on a camera image.
+
+    Same law as ``image_vis.py:8-57``: homogeneous ``pts @ rt.T``,
+    z clamped to ``[1e-5, 99999]``, in-image FOV filter, HSV color
+    indexed by ``clip(int(max_distance * 10 / depth), 0, 255)``.
+    """
+    img = np.ascontiguousarray(raw_img, dtype=np.uint8).copy()
+    pts = np.asarray(points, np.float64)
+    hom = np.concatenate([pts[:, :3], np.ones_like(pts[:, :1])], axis=1)
+    uvd = hom @ np.asarray(lidar2img_rt, np.float64).reshape(4, 4).T
+    d = np.clip(uvd[:, 2], 1e-5, 99999.0)
+    u, v = uvd[:, 0] / d, uvd[:, 1] / d
+    fov = (u >= 0) & (u < img.shape[1]) & (v >= 0) & (v < img.shape[0])
+    u, v, d = u[fov], v[fov], d[fov]
+    cmap = _hsv256()
+    idx = np.clip((max_distance * 10.0 / d).astype(int), 0, 255)
+    colors = cmap[idx]
+    try:
+        import cv2
+
+        for ui, vi, ci in zip(u, v, colors):
+            cv2.circle(
+                img, (int(round(ui)), int(round(vi))), 1,
+                tuple(float(c) for c in ci), thickness,
+            )
+    except ImportError:  # nearest-pixel fallback
+        img[np.round(v).astype(int), np.round(u).astype(int)] = colors
+    return _maybe_write(img, out_path)
+
+
+def plot_rect3d_on_img(
+    img: np.ndarray,
+    rect_corners: np.ndarray,
+    color=(0, 255, 0),
+    thickness: int = 1,
+) -> np.ndarray:
+    """Draw ``(N, 8, 2)`` projected cuboid corners as wireframes.
+
+    ``image_vis.py:59-83`` with the edge list permuted for this repo's
+    ``core.boxes.corners_3d`` order (bottom ring 0-3 CCW, top 4-7).
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    corners = np.asarray(rect_corners)
+    try:
+        import cv2
+
+        for box in corners:
+            c = box.astype(int)
+            for a, b in _BOX_EDGES:
+                cv2.line(
+                    img, (c[a, 0], c[a, 1]), (c[b, 0], c[b, 1]),
+                    color, thickness, cv2.LINE_AA,
+                )
+    except ImportError:  # dense-sample fallback rasterizer
+        H, W = img.shape[:2]
+        for box in corners:
+            for a, b in _BOX_EDGES:
+                n = int(max(abs(box[b] - box[a]).max(), 1)) * 2
+                t = np.linspace(0.0, 1.0, n)
+                xy = np.round(box[a] + t[:, None] * (box[b] - box[a]))
+                xy = xy[
+                    (xy[:, 0] >= 0) & (xy[:, 0] < W)
+                    & (xy[:, 1] >= 0) & (xy[:, 1] < H)
+                ].astype(int)
+                img[xy[:, 1], xy[:, 0]] = color
+    return img
+
+
+def draw_lidar_bbox3d_on_img(
+    bboxes3d: np.ndarray,
+    raw_img: np.ndarray,
+    lidar2img_rt: np.ndarray,
+    color=(0, 255, 0),
+    thickness: int = 1,
+    out_path: str | None = None,
+) -> np.ndarray:
+    """Project LiDAR-frame ``(N, 7)`` boxes through a 4x4 lidar2img.
+
+    ``image_vis.py:86-120`` (same 1e-5..1e5 z clamp, no FOV culling —
+    the reference draws clipped lines for out-of-view corners too).
+    """
+    from ..core import boxes as box_ops
+
+    img = np.ascontiguousarray(raw_img, dtype=np.uint8).copy()
+    b = np.asarray(bboxes3d, np.float64).reshape(-1, bboxes3d.shape[-1])
+    if b.shape[0] == 0:
+        return _maybe_write(img, out_path)
+    corners = box_ops.corners_3d(b[:, :7]).reshape(-1, 3)
+    hom = np.concatenate([corners, np.ones_like(corners[:, :1])], 1)
+    uvd = hom @ np.asarray(lidar2img_rt, np.float64).reshape(4, 4).T
+    d = np.clip(uvd[:, 2], 1e-5, 1e5)
+    uv = (uvd[:, :2] / d[:, None]).reshape(-1, 8, 2)
+    return _maybe_write(
+        plot_rect3d_on_img(img, uv, color, thickness), out_path
+    )
+
+
+def _cam_frame_corners(bboxes3d: np.ndarray, mode: int) -> np.ndarray:
+    """(N, 7) boxes in ``mode`` frame -> (N*8, 3) CAM-frame corners.
+
+    The reference takes ``.corners`` of the frame-specific box class;
+    here corners are generated once in the z-up LiDAR parametrization
+    and the frame change is the oracle-tested ``point_mode_convert``.
+    """
+    from ..core import boxes as box_ops
+
+    b = np.asarray(bboxes3d, np.float64).reshape(-1, bboxes3d.shape[-1])
+    lidar = box_ops.box_mode_convert(b[:, :7], mode, box_ops.LIDAR)
+    corners = box_ops.corners_3d(lidar).reshape(-1, 3)
+    return box_ops.point_mode_convert(corners, box_ops.LIDAR, mode)
+
+
+def draw_camera_bbox3d_on_img(
+    bboxes3d: np.ndarray,
+    raw_img: np.ndarray,
+    cam_intrinsic: np.ndarray,
+    color=(0, 255, 0),
+    thickness: int = 1,
+    out_path: str | None = None,
+) -> np.ndarray:
+    """CAM-frame boxes through a 3x3 intrinsic (``image_vis.py:163-197``).
+
+    Keeps the reference's ``(uv - 1).round()`` quirk (its
+    ``points_cam2img`` is 1-indexed).
+    """
+    from ..core import boxes as box_ops
+
+    img = np.ascontiguousarray(raw_img, dtype=np.uint8).copy()
+    if np.asarray(bboxes3d).size == 0:
+        return _maybe_write(img, out_path)
+    pts = _cam_frame_corners(bboxes3d, box_ops.CAM)
+    K = np.asarray(cam_intrinsic, np.float64).reshape(3, 3)
+    uvd = pts @ K.T
+    uv = uvd[:, :2] / np.clip(uvd[:, 2:3], 1e-5, None)
+    uv = np.round(uv - 1.0).reshape(-1, 8, 2)
+    return _maybe_write(
+        plot_rect3d_on_img(img, uv, color, thickness), out_path
+    )
+
+
+def draw_depth_bbox3d_on_img(
+    bboxes3d: np.ndarray,
+    raw_img: np.ndarray,
+    depth2img: np.ndarray,
+    color=(0, 255, 0),
+    thickness: int = 1,
+    out_path: str | None = None,
+) -> np.ndarray:
+    """DEPTH-frame boxes through a 4x4 depth2img (``image_vis.py:124-160``).
+
+    The reference additionally un-applies training-time augmentations
+    via ``apply_3d_transformation(img_metas)``; this repo's eval path
+    keeps boxes in raw sensor frames, so the input is the un-augmented
+    box directly.  Keeps the ``(uv - 1).round()`` quirk.
+    """
+    from ..core import boxes as box_ops
+
+    img = np.ascontiguousarray(raw_img, dtype=np.uint8).copy()
+    if np.asarray(bboxes3d).size == 0:
+        return _maybe_write(img, out_path)
+    pts = _cam_frame_corners(bboxes3d, box_ops.DEPTH)
+    hom = np.concatenate([pts, np.ones_like(pts[:, :1])], 1)
+    uvd = hom @ np.asarray(depth2img, np.float64).reshape(4, 4).T
+    uv = uvd[:, :2] / np.clip(uvd[:, 2:3], 1e-5, None)
+    uv = np.round(uv - 1.0).reshape(-1, 8, 2)
+    return _maybe_write(
+        plot_rect3d_on_img(img, uv, color, thickness), out_path
+    )
