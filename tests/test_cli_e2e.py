@@ -21,7 +21,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(argv, cwd=REPO, timeout=900):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # JAX_PLATFORMS=cpu is honored by the CLIs themselves (the axon
+    # sitecustomize would otherwise override it and route the subprocess
+    # through the single-client TPU tunnel); pin ONE CPU device so the
+    # default eval batch size / data mesh don't depend on the parent
+    # pytest's 8-virtual-device XLA_FLAGS.
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
     r = subprocess.run(
         [sys.executable] + argv,
         cwd=cwd,
@@ -62,3 +71,38 @@ def test_cli_train_then_eval_on_fixture_files(fake_devkit):
     ])
     # the occ metric line (reference triplane_occ.py:468-500 protocol)
     assert "mIoU" in out or "miou" in out, out[-2000:]
+
+
+def test_golden_eval_metrics_on_fixture(fake_devkit):
+    """Golden end-to-end IoU regression (VERDICT r4 #6).
+
+    Locks the EXACT ``CE / IoU / mIoU`` values ``tools/test.py`` prints
+    for a fixed-seed (``jax.random.key(0)``) *untrained* tiny_occ model
+    over the file-backed fixture world, f32 on one CPU device — so
+    silent numerical drift anywhere in the disk → pipeline → model →
+    ``evaluation_semantic`` aggregation chain (reference
+    ``triplane_occ.py:468-500`` + ``apis/test.py:44-74``) is caught
+    whole-pipeline, not just per-module.  Regenerate by running the
+    printed command when numerics change INTENTIONALLY (keep in sync
+    with tests/test_golden.py policy).
+    """
+    root = fake_devkit
+    prepare_fixture_dataset(root)
+
+    out = _run([
+        "tools/test.py", "tiny_occ_run",
+        "--data-root", root,
+        "--num-samples", "1",
+        "--batch-size", "1",
+        "--cfg-options", "data.point_budget=512",
+    ])
+    got = {}
+    for line in out.splitlines():
+        if line.startswith("CE:"):
+            got["ce"] = line.split()[-1]
+        elif line.startswith("IoU (geometry):"):
+            got["iou"] = line.split()[-1]
+        elif line.startswith("mIoU:"):
+            got["miou"] = line.split()[-1]
+    golden = {"ce": "1.0091", "iou": "0.0005", "miou": "0.0002"}
+    assert got == golden, f"eval drifted: got {got}, golden {golden}"

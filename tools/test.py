@@ -25,6 +25,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor an explicit CPU request over the axon sitecustomize's forced
+# jax_platforms="axon,cpu" (see tools/train.py / tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate a triplane model")

@@ -22,6 +22,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu", silently
+# overriding a JAX_PLATFORMS=cpu env var (tests/conftest.py NOTE).  The
+# CLIs honor an explicit CPU request so fixture/e2e subprocess runs are
+# deterministic f32 CPU and never contend for the single-client TPU
+# tunnel (a dead tunnel would hang them forever).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train a triplane model")
