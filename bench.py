@@ -194,7 +194,8 @@ def _fused_prologue_flops(cfg, batch_size: int, dtype) -> float:
     return batch_size * blocks * 2 * n_tok * C * (3 + 2 * mlp_ratio) * C
 
 
-def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
+def _make_train_state(cfg, model, batch, rng_names, frozen: bool,
+                      remat: bool = False):
     import dataclasses
 
     from efficient_multimodal_perception_tpu.train.trainer import (
@@ -224,7 +225,7 @@ def _make_train_state(cfg, model, batch, rng_names, frozen: bool):
     state = _cpu_init(build)
     return state, make_train_step(model, optimizer=opt_holder[0],
                                   rng_names=rng_names,
-                                  freeze_prefixes=freeze)
+                                  freeze_prefixes=freeze, remat=remat)
 
 
 def _device_batch(batch):
@@ -461,7 +462,8 @@ def bench_point_infer(batch_size: int, iters: int):
     )
 
 
-def bench_point_train(batch_size: int, iters: int, fused: bool = False):
+def bench_point_train(batch_size: int, iters: int, fused: bool = False,
+                      remat: bool = False):
     """point_triplane_occ FULL train step (the reference fine-tunes this
     family with ``freeze_encoder=False`` — no frozen submodules)."""
     from efficient_multimodal_perception_tpu.configs import get_config
@@ -481,7 +483,8 @@ def bench_point_train(batch_size: int, iters: int, fused: bool = False):
         seed=0,
     )
     state, step_fn = _make_train_state(
-        cfg, model, batch, ("sample", "droppath"), frozen=True
+        cfg, model, batch, ("sample", "droppath"), frozen=True,
+        remat=remat,
     )
     dt, flops = _time_train(step_fn, state, batch, iters)
     return dict(

@@ -90,11 +90,14 @@ def fused_prologue_active(shape, dtype, int8) -> bool:
     cost analysis can't see (the prologues are custom calls) are added
     back under EXACTLY the dispatch condition (VERDICT r4 #1).
     """
+    import os
+
     from ..parallel.fsdp import ambient_model_axis
 
     B, N, C = shape
     return (
         not int8
+        and not os.environ.get("EMP_DISABLE_FUSED_PROLOGUE")
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
         and ambient_model_axis() == 1

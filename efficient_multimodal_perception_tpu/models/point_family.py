@@ -7,6 +7,8 @@ helpers: ``voxelize_points`` (:133-161), ``point_to_cam`` (:164-241) and
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -75,7 +77,13 @@ def point_to_cam(
     # maps keep the gather form; f32 keeps it too (bf16-rounded
     # bilinear weights are a perf-path trade, like the fused kernels —
     # the f32 parity path must stay exact).
-    use_mm = h * w <= 2048 and img_features.dtype == jnp.bfloat16
+    # EMP_DISABLE_GS_MM=1 forces the gather form (compiler-crash triage
+    # knob for the B=4 point-train remote-compile failure, VERDICT r4 #3)
+    use_mm = (
+        h * w <= 2048
+        and img_features.dtype == jnp.bfloat16
+        and not os.environ.get("EMP_DISABLE_GS_MM")
+    )
     sampler = grid_sample_2d_mm if use_mm else grid_sample_2d
     sampled = sampler(
         img_features.reshape(B * N, h, w, C), grid.reshape(B * N, P, 2)
