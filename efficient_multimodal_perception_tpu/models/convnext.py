@@ -28,6 +28,8 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ..utils.env import compute_backend
 import numpy as np
 
 ARCH_SETTINGS = {
@@ -211,7 +213,7 @@ class ConvNeXtBlock(nn.Module):
                 x = x * gamma.astype(x.dtype)
             if mask is not None:
                 x = x * mask
-        elif dt == jnp.bfloat16 and jax.default_backend() == "tpu":
+        elif dt == jnp.bfloat16 and compute_backend() == "tpu":
             # training path with stochastic depth: the fused epilogue
             # (with its fused Pallas backward) computes f(y); droppath
             # and the residual stay out here.  Masked (SparK) mode works
@@ -386,7 +388,7 @@ class MaskConvNeXt(nn.Module):
             and deterministic
             and active_mask is None
             and self.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
+            and compute_backend() == "tpu"
         )
         from ..parallel.fsdp import batch_constraint
 
@@ -415,7 +417,7 @@ class MaskConvNeXt(nn.Module):
                     and active_mask is None
                     and blk.drop_path_rate == 0.0
                     and self.dtype == jnp.bfloat16
-                    and jax.default_backend() == "tpu"
+                    and compute_backend() == "tpu"
                 )
                 x = batch_constraint(blk(
                     x, mask=m, deterministic=deterministic, fused=blk_fused

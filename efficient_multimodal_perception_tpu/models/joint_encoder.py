@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..utils.env import compute_backend
+
 from ..core.geometry import CameraAug, project_points_to_cameras
 from ..ops.scatter import last_write_winner_batch
 from .convnext import MaskConvNeXt, random_active_mask, upsample_mask
@@ -272,7 +274,7 @@ class JointEncoder(nn.Module):
         onehot_flops_per_row = 2 * N * h1 * w1 * C * P
         if (
             img_features.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
+            and compute_backend() == "tpu"
             and feat_bytes <= 10_000_000
             and onehot_flops_per_row <= 4e11
         ):

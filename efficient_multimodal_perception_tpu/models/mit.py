@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..utils.env import compute_backend
+
 
 def _use_fused_attn(dtype, n_q: int, n_kv: int) -> bool:
     """Dispatch to the repo fused attention when the materialized
@@ -46,7 +48,7 @@ def _use_fused_attn(dtype, n_q: int, n_kv: int) -> bool:
 
     return (
         dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
+        and compute_backend() == "tpu"
         and n_q % 512 == 0
         and n_kv % 128 == 0
         and n_q * n_kv >= 1_000_000
@@ -99,7 +101,7 @@ def fused_prologue_active(shape, dtype, int8) -> bool:
         not int8
         and not os.environ.get("EMP_DISABLE_FUSED_PROLOGUE")
         and dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
+        and compute_backend() == "tpu"
         and ambient_model_axis() == 1
         and (B * N) % 1024 == 0
         and C % 128 == 0

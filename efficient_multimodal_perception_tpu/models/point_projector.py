@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..utils.env import compute_backend
+
 from ..ops.scatter import point_plane_pools_batch
 
 
@@ -125,7 +127,7 @@ class PointTriplaneProjector(nn.Module):
         # is a full HBM round trip XLA cannot fuse into the fc1 dot
         fused = (
             self.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
+            and compute_backend() == "tpu"
             and C % 128 == 0
             and not self.is_initializing()
         )

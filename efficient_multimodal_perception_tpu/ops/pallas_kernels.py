@@ -23,6 +23,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.env import compute_backend
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -528,14 +530,14 @@ def convnext_block_fused(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
     """
     return _block_fused_impl(
         x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
-        interpret=jax.default_backend() != "tpu",
+        interpret=compute_backend() != "tpu",
     )
 
 
 def _block_fused_fwd(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
     args = (x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma)
     out = _block_fused_impl(
-        *args, interpret=jax.default_backend() != "tpu"
+        *args, interpret=compute_backend() != "tpu"
     )
     return out, args
 
@@ -562,7 +564,7 @@ def _block_fused_bwd(res, g):
     M = N * H * W
     dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = post_epilogue_bwd(
         y.reshape(M, C), g.reshape(M, C), ln_s, ln_b, w1, b1, w2, b2,
-        gamma, interpret=jax.default_backend() != "tpu",
+        gamma, interpret=compute_backend() != "tpu",
     )
     dx_c, ddwk, ddwb = conv_vjp(dy.reshape(N, H, W, C))
     return (
@@ -667,7 +669,7 @@ def sample_triplane_auto(triplane, points, pc_range, voxel_size):
 
     use_pallas = (
         triplane.dtype == jnp.bfloat16
-        and jax.default_backend() != "cpu"
+        and compute_backend() != "cpu"
     )
     if not use_pallas:
         return sample_triplane(triplane, points, pc_range, voxel_size)
@@ -1450,7 +1452,7 @@ def _epilogue_bwd(res, g):
     fn = post_epilogue_bwd if C <= 384 else post_epilogue_bwd_wide
     dy, dlns, dlnb, dw1, db1, dw2, db2, dgamma = fn(
         y.reshape(M, C), g.reshape(M, C), ln_s, ln_b, w1, b1, w2, b2,
-        gamma, interpret=jax.default_backend() != "tpu",
+        gamma, interpret=compute_backend() != "tpu",
     )
     return (
         dy.reshape(shape).astype(y.dtype),
@@ -1477,7 +1479,7 @@ def _epilogue_impl(y, ln_s, ln_b, w1, b1, w2, b2, gamma):
     R = _post_rows(M, C)
     dt = y.dtype
     has_gamma = gamma is not None
-    interpret = jax.default_backend() != "tpu"
+    interpret = compute_backend() != "tpu"
 
     kernel = _epilogue_kernel
     if not has_gamma:
@@ -1611,14 +1613,14 @@ def convnext_block_int8_fused(
     """
     return _block_int8_impl(
         x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma,
-        interpret=jax.default_backend() != "tpu",
+        interpret=compute_backend() != "tpu",
     )
 
 
 def _block_int8_fwd(x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma):
     args = (x, dw_k, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma)
     return _block_int8_impl(
-        *args, interpret=jax.default_backend() != "tpu"
+        *args, interpret=compute_backend() != "tpu"
     ), args
 
 
@@ -1839,7 +1841,7 @@ def ln_dense_fused(x, s, b, w, bias, eps=1e-6):
     """
     return _prologue_dense_impl(
         x, (s, b), w, bias, mode="ln", eps=eps,
-        interpret=jax.default_backend() != "tpu",
+        interpret=compute_backend() != "tpu",
     )
 
 
@@ -1862,7 +1864,7 @@ def gelu_dense_fused(x, w, bias):
     A&S approximation, abs err ~1.5e-7 — see ``_gelu_erf``)."""
     return _prologue_dense_impl(
         x, (), w, bias, mode="gelu", eps=0.0,
-        interpret=jax.default_backend() != "tpu",
+        interpret=compute_backend() != "tpu",
     )
 
 
@@ -1978,7 +1980,7 @@ def finite_mlp_fused(x, w1, b1, w2, b2):
     w2 ``(N, N)``, biases ``(N,)``/``(N,)``.
     """
     return _finite_mlp_impl(
-        x, w1, b1, w2, b2, interpret=jax.default_backend() != "tpu"
+        x, w1, b1, w2, b2, interpret=compute_backend() != "tpu"
     )
 
 

@@ -34,3 +34,23 @@ def collect_env() -> dict:
 
 def env_string() -> str:
     return "\n".join(f"{k}: {v}" for k, v in collect_env().items())
+
+
+def compute_backend() -> str:
+    """Platform the CURRENT tracing context will compile for.
+
+    ``jax.default_backend()`` reports the highest-priority registered
+    backend ("tpu" here) even inside a ``jax.default_device(cpu)``
+    scope — so kernel-dispatch predicates that consult it emit
+    non-interpret Pallas calls into graphs that are actually being
+    compiled for CPU (bench's ``_cpu_init`` initializes full models on
+    the CPU backend; the int8-static occ bench crashed exactly this way:
+    "Only interpret mode is supported on CPU backend").  Honor the
+    scoped default device first.
+    """
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
