@@ -494,6 +494,19 @@ def bench_point_train(batch_size: int, iters: int, fused: bool = False,
     )
 
 
+def _point_train_best(iters: int, fused: bool = False):
+    """point_triplane_occ train at its measured operating point, with a
+    compile-crash fallback: B=4 beats B=2 on chip (r5 battery: 14.32 vs
+    12.96 samples/s) but the remote compiler intermittently returns
+    HTTP 500 on the B=4 train graph (every attempt in r4, clean in r5 —
+    compiler-side flakiness, not shape-dependent graph breakage), so a
+    failed B=4 compile falls back to the always-green B=2 point."""
+    try:
+        return bench_point_train(4, iters, fused=fused)
+    except Exception:
+        return bench_point_train(2, iters, fused=fused)
+
+
 def bench_elev_train(batch_size: int, iters: int, fused: bool = False):
     """triplane_elev fine-tune step (frozen encoder+neck; only the
     smp-Unet elevation head trains — reference ``triplane_elev.py``)."""
@@ -709,16 +722,18 @@ def main():
             8, max(6, args.iters // 5), fused=args.fused,
             config="triplane_surf_sam",
         ),
-        # Point-family + elevation operating points from the r4 chip
-        # battery (tools/measure_r4.py): point infer B8 26.22 > B4
-        # 25.25 samples/s; point train B2 8.1 (B4 crashes the remote
-        # compiler — under investigation); elev train B4 36.26 > B2
-        # 30.95.
+        # Point-family + elevation operating points from the r4/r5 chip
+        # batteries (tools/measure_r{4,5}.py): point infer B8 26.22 > B4
+        # 25.25 samples/s (pre-5bf0770; 41.11 in BENCH_r04); point train
+        # B4 14.32 > B2 12.96, but the remote compiler INTERMITTENTLY
+        # 500s on the B=4 train graph (crashed every try in r4, compiled
+        # clean in r5) — _point_train_best falls back to B=2; elev train
+        # B4 36.26 > B2 30.95.
         "point": lambda: bench_point_infer(
             min(args.batch_size, 8), max(10, args.iters // 3)
         ),
-        "point_train": lambda: bench_point_train(
-            2, max(8, args.iters // 4), fused=args.fused
+        "point_train": lambda: _point_train_best(
+            max(8, args.iters // 4), fused=args.fused
         ),
         "elev": lambda: bench_elev_train(
             4, max(8, args.iters // 4), fused=args.fused

@@ -15,6 +15,7 @@ the whole thing to one scatter.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,65 @@ def masked_segment_max(
     ids = jnp.where(valid, seg_ids, num_segments)
     out = jax.ops.segment_max(
         jnp.where(valid[:, None], feats, neg), ids, num_segments=num_segments + 1
+    )[:num_segments]
+    if empty_value is None:
+        return out
+    return jnp.where(jnp.isfinite(out), out, empty_value)
+
+
+@jax.custom_vjp
+def _permute_rows(feats, order, inv_order):
+    """``feats[order]`` with a gather (not scatter-add) backward.
+
+    ``order`` is a *permutation*, so the transpose of the gather is the
+    gather by the inverse permutation — XLA's autodiff would instead
+    emit a (P, C) scatter-add, the exact op class the sorted pool
+    rewrite exists to avoid (same insight as the MAE camera-scatter
+    VJP, round-3 ledger).
+    """
+    return feats[order]
+
+
+def _permute_rows_fwd(feats, order, inv_order):
+    return feats[order], inv_order
+
+
+def _permute_rows_bwd(inv_order, g):
+    return g[inv_order], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def masked_segment_max_sorted(
+    feats: jax.Array,
+    seg_ids: jax.Array,
+    valid: jax.Array,
+    num_segments: int,
+    empty_value: float = 0.0,
+) -> jax.Array:
+    """:func:`masked_segment_max` via argsort + sorted ``segment_max``.
+
+    XLA:TPU's unsorted scatter-max degrades badly for some id layouts:
+    at the point projector's production shapes (B=8, P=36864, C=128,
+    grid 128x128x80) the xy-plane pool costs 24.5 ms unsorted but
+    9.4 ms as argsort + row-permute + ``indices_are_sorted=True``
+    segment_max — *including* the 2.4 ms argsort (r5 chip A/B,
+    ``tools/profile_proj.py``).  The yz/xz pools LOSE from sorting
+    (6.9 -> 8.9 ms), so callers pick per pool.  Values are bit-identical
+    to the unsorted form (max is order-independent).
+    """
+    ids = jnp.where(valid, seg_ids, num_segments)
+    order = jnp.argsort(ids)
+    inv_order = jnp.argsort(order)
+    ids_s = ids[order]
+    neg = jnp.asarray(-jnp.inf, feats.dtype)
+    feats_s = _permute_rows(
+        jnp.where(valid[:, None], feats, neg), order, inv_order
+    )
+    out = jax.ops.segment_max(
+        feats_s, ids_s, num_segments=num_segments + 1,
+        indices_are_sorted=True,
     )[:num_segments]
     if empty_value is None:
         return out
@@ -353,14 +413,27 @@ def point_plane_pools_batch(feats, grid_idx, valid, grid_size, split,
     flat_valid = valid.reshape(B * P)
     empty = None if raw else 0.0
 
-    def pool(seg_id, nseg, shape):
+    # The xy pool's unsorted scatter-max is the projector's hot spot on
+    # TPU (24.5 ms of the 35.4 ms pool total at B=8 production shapes);
+    # the argsort+sorted-segment_max form runs it at 9.4 ms while the
+    # smaller yz/xz scatters are FASTER unsorted (r5 chip A/B,
+    # tools/profile_proj.py; bit-identical outputs either way).
+    # EMP_DISABLE_SORTED_POOL=1 restores the unsorted form (triage).
+    xy_impl = (
+        masked_segment_max
+        if os.environ.get("EMP_DISABLE_SORTED_POOL")
+        else masked_segment_max_sorted
+    )
+
+    def pool(seg_id, nseg, shape, impl=masked_segment_max):
         ids = (seg_id + off * nseg).reshape(B * P)
-        out = masked_segment_max(
+        out = impl(
             flat_feats, ids, flat_valid, B * nseg, empty_value=empty
         )
         return out.reshape(B, *shape, C)
 
-    xy = pool((gx * Y + gy) * sz + gz // kz, X * Y * sz, (X, Y, sz))
+    xy = pool((gx * Y + gy) * sz + gz // kz, X * Y * sz, (X, Y, sz),
+              impl=xy_impl)
     yz = pool((gy * Z + gz) * sx + gx // kx, Y * Z * sx, (Y, Z, sx))
     xz = pool((gx * Z + gz) * sy + gy // ky, X * Z * sy, (X, Z, sy))
     return xy, yz, xz
