@@ -22,6 +22,59 @@ def test_masked_segment_max_empty_zero():
     np.testing.assert_allclose(out, [[3, -2], [0, 0], [0, 0]])
 
 
+def test_masked_segment_max_sorted_bitexact_and_grad():
+    """The sorted (argsort + indices_are_sorted) form must be
+    bit-identical to the unsorted scatter-max, with matching gradients
+    (its permutation custom-VJP replaces autodiff's scatter-add bwd
+    with a gather — see ops/scatter._permute_rows)."""
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        masked_segment_max_sorted,
+    )
+
+    rng = np.random.default_rng(3)
+    P, C, S = 733, 9, 41
+    feats = jnp.asarray(rng.standard_normal((P, C)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, S, P), jnp.int32)
+    valid = jnp.asarray(rng.random(P) < 0.85)
+
+    for empty in (0.0, None):
+        a = masked_segment_max(feats, ids, valid, S, empty_value=empty)
+        b = masked_segment_max_sorted(
+            feats, ids, valid, S, empty_value=empty
+        )
+        assert bool(jnp.array_equal(a, b, equal_nan=True))
+
+    w = jnp.asarray(rng.standard_normal((S, C)), jnp.float32)
+    ga = jax.grad(
+        lambda f: (masked_segment_max(f, ids, valid, S) * w).sum()
+    )(feats)
+    gb = jax.grad(
+        lambda f: (masked_segment_max_sorted(f, ids, valid, S) * w).sum()
+    )(feats)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb))
+
+
+def test_point_plane_pools_sorted_knob_parity(monkeypatch):
+    """point_plane_pools_batch output is invariant to the sorted-xy-pool
+    dispatch (EMP_DISABLE_SORTED_POOL triage knob)."""
+    from efficient_multimodal_perception_tpu.ops.scatter import (
+        point_plane_pools_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    B, P = 2, 400
+    feats = jnp.asarray(rng.standard_normal((B, P, 16)), jnp.bfloat16)
+    gi = jnp.asarray(rng.integers(0, [16, 16, 8], (B, P, 3)), jnp.int32)
+    valid = jnp.asarray(rng.random((B, P)) < 0.9)
+    args = (feats, gi, valid, (16, 16, 8), (4, 4, 4))
+
+    sorted_out = point_plane_pools_batch(*args)
+    monkeypatch.setenv("EMP_DISABLE_SORTED_POOL", "1")
+    unsorted_out = point_plane_pools_batch(*args)
+    for a, b in zip(sorted_out, unsorted_out):
+        assert bool(jnp.array_equal(a, b))
+
+
 def test_masked_segment_sum_collisions():
     feats = jnp.ones((4, 1))
     ids = jnp.asarray([1, 1, 1, 0])
